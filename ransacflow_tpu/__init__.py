@@ -1,0 +1,20 @@
+"""ransacflow_tpu — a TPU-native (JAX/XLA/Pallas) two-stage image alignment framework.
+
+Re-implements the full capability surface of RANSAC-Flow (ECCV 2020,
+"RANSAC-Flow: generic two-stage image alignment") as a from-scratch,
+TPU-first framework:
+
+- coarse stage: multi-scale deep features, dense mutual-NN matching (one MXU
+  matmul), and fully vectorized on-device RANSAC homography fitting
+  (all hypotheses solved in one batched DLT, no host round trips);
+- fine stage: anti-aliased feature CNN, local correlation volume, flow +
+  matchability heads, bilinear warp composition;
+- multi-homography iteration, self-supervised training (SSIM + cycle +
+  matchability + flow-gradient losses), and the four evaluation harnesses
+  (HPatches / KITTI / YFCC / MegaDepth-RobotCar sparse correspondences).
+
+Everything in `ops/` and `models/` is pure and jittable; device parallelism
+lives in `parallel/` (jax.sharding Mesh + shard_map, XLA collectives over ICI).
+"""
+
+__version__ = "0.1.0"

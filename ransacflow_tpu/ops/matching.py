@@ -1,0 +1,54 @@
+"""Dense mutual nearest-neighbor matching as one MXU matmul.
+
+The reference computes ``score = featA^T @ featB`` then extracts mutual
+argmax pairs with topk + scatter + nonzero (utils/outil.py:32-45), producing
+variable-length index lists. Variable shapes don't jit, so here matches are
+keyed by target cell: for each target feature cell ``j`` we return the best
+source index and a validity flag — mutual matching is injective, so this
+fixed-shape ``(nB,)`` representation is lossless.
+"""
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class MatchResult(NamedTuple):
+    """Mutual matches keyed by target cell (all shapes (nB,))."""
+
+    src_idx: jnp.ndarray   # best source cell per target cell, int32
+    valid: jnp.ndarray     # True where the pair is a mutual argmax, bool
+    score: jnp.ndarray     # cosine score of the pair
+
+
+def mutual_matching(featA, featB, validB=None):
+    """Mutual NN matching between L2-normalized feature banks.
+
+    Args:
+      featA: (C, nA) source features (multi-scale bank).
+      featB: (C, nB) target features.
+      validB: optional (nB,) mask; masked target cells behave as zero
+        features, exactly like the reference's ``featt * MtTensor``
+        (quick_start/coarseAlignFeatMatch.py:143).
+
+    A pair (i, j) is kept iff i is the argmax of column j AND j is the
+    argmax of row i AND the score is nonzero (the reference's
+    ``keepMaxDim0 * keepMaxDim1 > 0`` reduces to exactly this, since the
+    product equals score^2 at mutual-argmax cells). Ties break to the first
+    index, as in torch topk.
+    """
+    score = jnp.dot(
+        featA.T, featB, preferred_element_type=jnp.float32
+    )  # (nA, nB)
+    if validB is not None:
+        score = score * validB.astype(score.dtype)[None, :]
+
+    best_src = jnp.argmax(score, axis=0)  # (nB,) best source per target
+    best_tgt = jnp.argmax(score, axis=1)  # (nA,) best target per source
+
+    nB = score.shape[1]
+    cols = jnp.arange(nB)
+    pair_score = score[best_src, cols]
+    mutual = best_tgt[best_src] == cols
+    valid = mutual & (pair_score != 0.0)
+    return MatchResult(best_src.astype(jnp.int32), valid, pair_score)

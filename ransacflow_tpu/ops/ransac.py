@@ -1,0 +1,127 @@
+"""Fully vectorized RANSAC homography/affine fitting — single XLA dispatch.
+
+The reference (utils/outil.py:117-164) samples minimal sets on GPU, drops
+duplicate-index sets, then loops over ~500 sequential chunks of 100
+hypotheses, each doing a host numpy SVD and a device inlier count. Here the
+whole thing is one jitted program:
+
+  sample -> mask duplicates -> batched DLT (on-device eigh) -> score ALL
+  hypotheses -> argmax
+
+Invalid hypotheses (duplicate indices, degenerate det) are masked to zero
+inliers instead of being filtered, keeping every shape static. Matches are
+padded-with-validity-mask arrays, so varying match counts re-use the same
+compiled program per bucket size.
+
+Behavioral notes vs. the reference:
+- The reference's per-chunk early exit ("return None if a chunk's best has 0
+  inliers", utils/outil.py:145-146) becomes a global `found = best > 0`.
+- The reference gates on signed det of an arbitrarily-signed null vector
+  (utils/outil.py:109-113 — sign depends on LAPACK conventions); the default
+  here is the orientation-agnostic `|det| > eps`, with `det_gate='signed'`
+  available for strict-parity experiments.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ransacflow_tpu.ops.homography import (
+    dlt_homography,
+    fit_affine,
+    reprojection_error,
+)
+
+DET_EPS = 1e-6
+
+
+class RansacResult(NamedTuple):
+    H21: jnp.ndarray          # (3, 3) best model (target -> source)
+    num_inliers: jnp.ndarray  # () int32
+    inlier_mask: jnp.ndarray  # (N,) bool over the (padded) match arrays
+    found: jnp.ndarray        # () bool: num_inliers > 0 and enough matches
+    best_sample: jnp.ndarray  # (n_points,) match indices of the winning
+    #                           minimal set — lets the host re-solve the
+    #                           winner in fp64 for exact reference parity.
+
+
+def _sample_minimal_sets(key, n_valid, n_points, n_iter):
+    """(n_iter, n_points) indices in [0, n_valid) + per-set uniqueness mask."""
+    raw = jax.random.randint(
+        key, (n_iter, n_points), 0, jnp.maximum(n_valid, 1), dtype=jnp.int32
+    )
+    # reject sets with any repeated index (reference: utils/outil.py:122-133)
+    eq = raw[:, :, None] == raw[:, None, :]
+    dup = jnp.sum(eq, axis=(1, 2)) > n_points  # diagonal contributes n_points
+    return raw, ~dup
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_iter", "n_points", "transform", "det_gate", "dlt_method"),
+)
+def ransac_homography(
+    key,
+    match1,
+    match2,
+    valid,
+    tolerance,
+    n_iter=10000,
+    n_points=4,
+    transform="homography",
+    det_gate="abs",
+    dlt_method="eigh",
+):
+    """Vectorized RANSAC over padded match arrays.
+
+    Args:
+      key: PRNG key.
+      match1: (N, 3) source homogeneous points (x, y, 1); padded rows allowed.
+      match2: (N, 3) target homogeneous points.
+      valid: (N,) bool; padded / masked-out matches are never sampled and
+        never counted as inliers.
+      tolerance: inlier threshold in normalized [-1, 1] units.
+      n_iter: number of hypotheses (static).
+      transform: 'homography' (4-pt DLT) or 'affine' (3-pt LSQ).
+
+    Returns RansacResult.
+    """
+    N = match1.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+
+    # stable partition: valid match indices first
+    order = jnp.argsort(~valid, stable=True)  # (N,) int
+    raw, unique = _sample_minimal_sets(key, n_valid, n_points, n_iter)
+    samples = order[raw]  # (n_iter, n_points) indices into match arrays
+
+    X = match1[samples]  # (n_iter, n_points, 3)
+    Y = match2[samples]
+
+    if transform == "affine":
+        H21 = fit_affine(X, Y)
+        model_ok = jnp.ones((n_iter,), dtype=bool)
+    else:
+        H21 = dlt_homography(X, Y, method=dlt_method)
+        dets = jnp.linalg.det(H21)
+        if det_gate == "signed":
+            model_ok = dets > DET_EPS
+        else:
+            model_ok = jnp.abs(dets) > DET_EPS
+
+    # score ALL hypotheses at once; XLA fuses the error chain into the
+    # inlier-count reduction, so the (n_iter, N) error matrix never fully
+    # materializes in HBM.
+    err = reprojection_error(match1, match2, H21)  # (n_iter, N)
+    is_inlier = (err < tolerance) & valid[None, :]
+    counts = jnp.sum(is_inlier, axis=1).astype(jnp.int32)
+    counts = counts * (unique & model_ok).astype(jnp.int32)
+
+    best = jnp.argmax(counts)
+    best_H = H21[best]
+    best_err = reprojection_error(match1, match2, best_H[None])[0]
+    best_inliers = (best_err < tolerance) & valid
+    n_inl = counts[best]
+    found = (n_inl > 0) & (n_valid >= n_points)
+    return RansacResult(best_H, n_inl, best_inliers, found, samples[best])

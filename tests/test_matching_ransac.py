@@ -1,0 +1,138 @@
+"""Mutual matching + vectorized RANSAC behavior tests."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from ransacflow_tpu.ops import (
+    mutual_matching,
+    ransac_homography,
+    apply_homography,
+    feature_cell_coords,
+)
+
+
+def _torch_mutual(featA, featB):
+    """Golden mutual matching, the reference's topk+scatter formulation
+    (utils/outil.py:32-45) re-expressed."""
+    score = torch.from_numpy(featA).t() @ torch.from_numpy(featB)
+    maxDim0, maxDim0Index = score.topk(k=1, dim=0)
+    maxDim1, maxDim1Index = score.topk(k=1, dim=1)
+    keep0 = torch.zeros_like(score).scatter_(0, maxDim0Index, maxDim0)
+    keep1 = torch.zeros_like(score).scatter_(1, maxDim1Index, maxDim1)
+    keepIndex = ((keep0 * keep1) > 0).nonzero()
+    return keepIndex[:, 0].numpy(), keepIndex[:, 1].numpy()
+
+
+def test_mutual_matching_matches_torch(rng):
+    featA = rng.randn(32, 50).astype(np.float32)
+    featB = rng.randn(32, 40).astype(np.float32)
+    featA /= np.linalg.norm(featA, axis=0, keepdims=True)
+    featB /= np.linalg.norm(featB, axis=0, keepdims=True)
+    gold_i, gold_j = _torch_mutual(featA, featB)
+    res = mutual_matching(jnp.asarray(featA), jnp.asarray(featB))
+    ours_j = np.nonzero(np.asarray(res.valid))[0]
+    ours_i = np.asarray(res.src_idx)[ours_j]
+    np.testing.assert_array_equal(np.sort(ours_j), np.sort(gold_j))
+    pairs_gold = set(zip(gold_i.tolist(), gold_j.tolist()))
+    pairs_ours = set(zip(ours_i.tolist(), ours_j.tolist()))
+    assert pairs_gold == pairs_ours
+
+
+def test_mutual_matching_respects_target_mask(rng):
+    featA = rng.randn(16, 30).astype(np.float32)
+    featB = rng.randn(16, 25).astype(np.float32)
+    mask = np.ones(25, bool)
+    mask[::3] = False
+    res = mutual_matching(jnp.asarray(featA), jnp.asarray(featB),
+                          validB=jnp.asarray(mask))
+    assert not np.any(np.asarray(res.valid)[~mask])
+    # masked columns == zeroed features, the reference's formulation
+    featB_zeroed = featB * mask[None, :]
+    gold_i, gold_j = _torch_mutual(featA, featB_zeroed)
+    ours_j = np.nonzero(np.asarray(res.valid))[0]
+    np.testing.assert_array_equal(np.sort(ours_j), np.sort(gold_j))
+
+
+def _make_ransac_problem(rng, n=300, inlier_frac=0.7, noise=0.003):
+    H = np.eye(3) + rng.randn(3, 3) * 0.15
+    H[2, :2] *= 0.1
+    m2 = (rng.rand(n, 2) * 1.6 - 0.8).astype(np.float32)
+    m1 = np.array(apply_homography(jnp.asarray(H.astype(np.float32)),
+                                   jnp.asarray(m2)))
+    n_out = int(n * (1 - inlier_frac))
+    m1[:n_out] = rng.rand(n_out, 2) * 2 - 1  # outliers
+    m1 += rng.randn(n, 2).astype(np.float32) * noise
+    ones = np.ones((n, 1), np.float32)
+    return (np.concatenate([m1, ones], 1), np.concatenate([m2, ones], 1),
+            H, n_out)
+
+
+def test_ransac_finds_dominant_homography(rng):
+    m1, m2, H, n_out = _make_ransac_problem(rng)
+    valid = np.ones(len(m1), bool)
+    res = ransac_homography(
+        jax.random.PRNGKey(0), jnp.asarray(m1), jnp.asarray(m2),
+        jnp.asarray(valid), tolerance=0.05, n_iter=2000)
+    assert bool(res.found)
+    n_inl = int(res.num_inliers)
+    assert n_inl > 0.9 * (len(m1) - n_out)
+    # the recovered H maps target inliers onto source points
+    inl = np.asarray(res.inlier_mask)
+    est = np.asarray(apply_homography(res.H21, jnp.asarray(m2[inl, :2])))
+    err = np.linalg.norm(est - m1[inl, :2], axis=1)
+    assert err.max() < 0.05
+
+
+def test_ransac_ignores_padded_matches(rng):
+    m1, m2, H, n_out = _make_ransac_problem(rng, n=200)
+    pad = 100
+    m1p = np.concatenate([m1, np.full((pad, 3), 5.0, np.float32)])
+    m2p = np.concatenate([m2, np.full((pad, 3), -5.0, np.float32)])
+    valid = np.concatenate([np.ones(200, bool), np.zeros(pad, bool)])
+    res = ransac_homography(
+        jax.random.PRNGKey(1), jnp.asarray(m1p), jnp.asarray(m2p),
+        jnp.asarray(valid), tolerance=0.05, n_iter=2000)
+    assert bool(res.found)
+    assert not np.any(np.asarray(res.inlier_mask)[200:])
+    # padding position must not change the result given identical valid set
+    res2 = ransac_homography(
+        jax.random.PRNGKey(1), jnp.asarray(m1), jnp.asarray(m2),
+        jnp.asarray(np.ones(200, bool)), tolerance=0.05, n_iter=2000)
+    np.testing.assert_allclose(np.asarray(res.H21), np.asarray(res2.H21),
+                               atol=1e-6)
+
+
+def test_ransac_not_found_on_degenerate_input():
+    m1 = jnp.zeros((10, 3)).at[:, 2].set(1.0)
+    m2 = jnp.zeros((10, 3)).at[:, 2].set(1.0)
+    valid = jnp.zeros(10, bool).at[:3].set(True)  # < 4 valid points
+    res = ransac_homography(jax.random.PRNGKey(0), m1, m2, valid,
+                            tolerance=0.05, n_iter=100)
+    assert not bool(res.found)
+
+
+def test_ransac_affine_mode(rng):
+    A = np.array([[1.1, 0.05, 0.2], [-0.03, 0.9, -0.1], [0, 0, 1]], np.float32)
+    m2 = (rng.rand(150, 2) * 1.6 - 0.8).astype(np.float32)
+    m1 = np.asarray(apply_homography(jnp.asarray(A), jnp.asarray(m2)))
+    ones = np.ones((150, 1), np.float32)
+    res = ransac_homography(
+        jax.random.PRNGKey(0),
+        jnp.asarray(np.concatenate([m1, ones], 1)),
+        jnp.asarray(np.concatenate([m2, ones], 1)),
+        jnp.ones(150, dtype=bool), tolerance=0.05, n_iter=500,
+        n_points=3, transform="affine")
+    assert bool(res.found)
+    Hn = np.asarray(res.H21)
+    np.testing.assert_allclose(Hn, A, atol=1e-2)
+
+
+def test_feature_cell_coords_match_reference_formula():
+    y, x = feature_cell_coords(3, 4)
+    # reference getWHTensor: ((idx + 0.5)/size - 0.5) * 2, rows vary slowest
+    gold_y = (((np.repeat(np.arange(3), 4) + 0.5) / 3) - 0.5) * 2
+    gold_x = (((np.tile(np.arange(4), 3) + 0.5) / 4) - 0.5) * 2
+    np.testing.assert_allclose(np.asarray(y), gold_y, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x), gold_x, atol=1e-6)

@@ -1,0 +1,114 @@
+"""Blur-pool / correlation volume / SSIM parity vs torch goldens."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from ransacflow_tpu.ops import (
+    blur_pool,
+    correlation_volume,
+    corr_offset_grids,
+    masked_ssim_loss,
+    gaussian_window,
+)
+
+
+def _torch_blurpool(x_nchw, filt_size=3, stride=2):
+    """Golden blur-pool: binomial filter + reflect pad + depthwise conv
+    (standard anti-aliased downsampling, cf. model/downsample.py:12-46)."""
+    from math import comb, ceil
+
+    a = torch.tensor([float(comb(filt_size - 1, i)) for i in range(filt_size)])
+    filt = a[:, None] * a[None, :]
+    filt = filt / filt.sum()
+    C = x_nchw.shape[1]
+    filt = filt[None, None].repeat(C, 1, 1, 1)
+    lo, hi = (filt_size - 1) // 2, ceil((filt_size - 1) / 2)
+    x = F.pad(x_nchw, (lo, hi, lo, hi), mode="reflect")
+    return F.conv2d(x, filt, stride=stride, groups=C)
+
+
+def test_blur_pool_matches_torch(rng):
+    for filt_size, stride in [(3, 2), (5, 2), (2, 2), (3, 1)]:
+        x = rng.randn(2, 12, 14, 6).astype(np.float32)
+        ours = np.asarray(blur_pool(jnp.asarray(x), filt_size, stride))
+        gold = _torch_blurpool(
+            torch.from_numpy(x).permute(0, 3, 1, 2), filt_size, stride
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(ours, gold, atol=1e-5)
+
+
+def _torch_corr(x_nchw, y_nchw, k):
+    """Golden local correlation: zero-pad + shifted channel dot products
+    (the CorrNeigh contract, model/model.py:138-149)."""
+    from itertools import product
+
+    p = k // 2
+    n, c, w, h = x_nchw.shape
+    y = F.pad(y_nchw, (p, p, p, p))
+    coef = [
+        torch.sum(x_nchw * y[:, :, i : i + w, j : j + h], dim=1, keepdim=True)
+        for i, j in product(range(k), range(k))
+    ]
+    return torch.cat(coef, dim=1)
+
+
+def test_correlation_volume_matches_torch(rng):
+    x = rng.randn(2, 9, 11, 16).astype(np.float32)
+    y = rng.randn(2, 9, 11, 16).astype(np.float32)
+    ours = np.asarray(correlation_volume(jnp.asarray(x), jnp.asarray(y), 7))
+    gold = _torch_corr(
+        torch.from_numpy(x).permute(0, 3, 1, 2),
+        torch.from_numpy(y).permute(0, 3, 1, 2),
+        7,
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, gold, atol=1e-5)
+
+
+def test_corr_offset_grids_match_reference_layout():
+    gx, gy = corr_offset_grids(7)
+    # reference gridY varies over rows (c // 7), gridX over cols (c % 7)
+    gold_y = np.repeat(np.arange(-3, 4), 7).astype(np.float32)
+    gold_x = np.tile(np.arange(-3, 4), 7).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(gy), gold_y)
+    np.testing.assert_array_equal(np.asarray(gx), gold_x)
+
+
+def _torch_ssim_loss(img1, img2, match, window_size=11):
+    """Golden masked SSIM (model/ssimLoss.py:16-48)."""
+    g = torch.from_numpy(gaussian_window(window_size, 1.5)).float().unsqueeze(1)
+    win2d = g @ g.t()
+    window = win2d[None, None].expand(3, 1, window_size, window_size).contiguous()
+    winMask = torch.ones(1, 1, window_size, window_size) / window_size**2
+    pad = window_size // 2
+
+    mask = F.conv2d(match, winMask, padding=pad) + 1e-7
+    mask = (mask > 0.5).float() + 1e-7
+
+    mu1 = F.conv2d(img1, window, padding=pad, groups=3)
+    mu2 = F.conv2d(img2, window, padding=pad, groups=3)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+    s1 = F.conv2d(img1 * img1, window, padding=pad, groups=3) - mu1_sq
+    s2 = F.conv2d(img2 * img2, window, padding=pad, groups=3) - mu2_sq
+    s12 = F.conv2d(img1 * img2, window, padding=pad, groups=3) - mu1_mu2
+    C1, C2 = 0.01**2, 0.03**2
+    smap = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2)
+    )
+    return (torch.sum((1 - smap) * mask) / torch.sum(mask) / 3).item()
+
+
+def test_masked_ssim_matches_torch(rng):
+    img1 = rng.rand(2, 24, 24, 3).astype(np.float32)
+    img2 = rng.rand(2, 24, 24, 3).astype(np.float32)
+    match = (rng.rand(2, 24, 24, 1) > 0.3).astype(np.float32)
+    ours = float(
+        masked_ssim_loss(jnp.asarray(img1), jnp.asarray(img2), jnp.asarray(match))
+    )
+    gold = _torch_ssim_loss(
+        torch.from_numpy(img1).permute(0, 3, 1, 2),
+        torch.from_numpy(img2).permute(0, 3, 1, 2),
+        torch.from_numpy(match).permute(0, 3, 1, 2),
+    )
+    np.testing.assert_allclose(ours, gold, rtol=1e-4)
