@@ -135,6 +135,31 @@ def dlt_homography(X, Y, method="svd"):
     return H / jnp.maximum(norm, 1e-12)[..., None, None]
 
 
+def dlt_homography_np(X, Y):
+    """Host fp64 single-set DLT (numpy), used to polish the RANSAC winner.
+
+    Reproduces the reference's numpy-SVD numerics (utils/outil.py:68-87)
+    exactly for the one hypothesis that matters, while the 50k-hypothesis
+    search stays on-device in fp32.
+
+    Args:
+      X: (4, 2|3) source points, Y: (4, 2|3) target points (numpy).
+    Returns (3, 3) float64 H21 (unit-norm null vector).
+    """
+    import numpy as np
+
+    X = np.asarray(X, np.float64)
+    Y = np.asarray(Y, np.float64)
+    A = np.zeros((8, 9))
+    for i in range(4):
+        u, v = Y[i, 0], Y[i, 1]
+        up, vp = X[i, 0], X[i, 1]
+        A[2 * i] = [0, 0, 0, -u, -v, -1, vp * u, vp * v, vp]
+        A[2 * i + 1] = [u, v, 1, 0, 0, 0, -up * u, -up * v, -up]
+    _, _, vh = np.linalg.svd(A)
+    return vh[8].reshape(3, 3)
+
+
 def fit_affine(X, Y):
     """Least-squares affine fit X ~ Y @ M (reference: utils/outil.py:48-55).
 

@@ -1,0 +1,220 @@
+"""Coarse alignment: multi-scale features -> mutual matching -> RANSAC.
+
+ONE parameterized implementation replacing the reference's five copies of
+``coarseAlignFeatMatch.py`` (SURVEY.md §1): the eval variant (matches cached
+once per pair, filtered per mask) and the quick-start/YFCC variant
+(re-matching against masked target features each call) are flags here.
+
+Host/device split: PIL resize on host; per-scale feature extraction,
+matching, and the entire RANSAC search are jitted device programs. The
+single winning hypothesis is optionally re-solved on host in fp64
+(`polish_fp64`), matching the reference's numpy-SVD numerics exactly.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ransacflow_tpu.models.resnet50 import resnet50_layer3, imagenet_preprocess
+from ransacflow_tpu.models.layers import l2_normalize
+from ransacflow_tpu.ops.grid import feature_cell_coords
+from ransacflow_tpu.ops.matching import mutual_matching
+from ransacflow_tpu.ops.ransac import ransac_homography
+from ransacflow_tpu.ops.homography import dlt_homography_np
+from ransacflow_tpu.ops.sampler import interpolate_bilinear
+from ransacflow_tpu.utils.image import (
+    resize_min_size,
+    resize_max_size,
+    to_array,
+    scale_list,
+    STRIDE_NET,
+)
+
+
+@jax.jit
+def _coarse_feats(params, img):
+    """img (1, H, W, 3) in [0,1] -> L2-normalized (H/16 * W/16, 1024)."""
+    feat, _ = resnet50_layer3(params, imagenet_preprocess(img))
+    feat = l2_normalize(feat, axis=-1)  # per spatial location, channel dim
+    _, fh, fw, c = feat.shape
+    return feat.reshape(fh * fw, c)
+
+
+@partial(jax.jit, static_argnames=("rematch",))
+def _match_masked(bank, featt, mask_cell, cached_src, cached_valid, rematch):
+    """Per-call masked matching: fresh (rematch) or cached-filtered."""
+    if rematch:
+        res = mutual_matching(bank.T, featt.T, validB=mask_cell)
+        return res.src_idx, res.valid
+    return cached_src, cached_valid & mask_cell
+
+
+@partial(jax.jit, static_argnames=("fh", "fw"))
+def _mask_to_cells(mask_full, fh, fw):
+    """Full-res exclusion mask (Ht, Wt) -> per-feature-cell KEEP mask (nB,).
+
+    Mirrors the reference: bilinear-interpolate (1 - mask) to the feature
+    grid and threshold > 0.5
+    (evaluation/evalHpatch/coarseAlignFeatMatch.py:158-162).
+    """
+    keep = 1.0 - mask_full
+    cell = interpolate_bilinear(keep[None, :, :, None], fh, fw)[0, :, :, 0]
+    return (cell > 0.5).reshape(-1)
+
+
+class CoarseAligner:
+    """Multi-scale coarse alignment (homography or affine).
+
+    Args:
+      resnet_params: ResNet-50 trunk params (torchvision or MoCo weights).
+      nb_scale: source pyramid size (default 7).
+      n_iter: RANSAC hypothesis count.
+      tolerance: inlier threshold in normalized units.
+      transform: 'homography' | 'affine'.
+      min_size: resized image min (or max, see resize_mode) dimension.
+      scale_r: pyramid scale range (scaleR..1/scaleR).
+      resize_mode: 'min' (eval harnesses) | 'max' (quick_start demo).
+      rematch_per_call: re-match masked target features on every getCoarse
+        (quick_start/YFCC behavior) instead of filtering cached matches
+        (eval-harness behavior).
+      polish_fp64: re-solve the winning minimal set on host in fp64.
+      seed: PRNG seed for hypothesis sampling (a fresh fold per call).
+    """
+
+    def __init__(
+        self,
+        resnet_params,
+        nb_scale=7,
+        n_iter=10000,
+        tolerance=0.05,
+        transform="homography",
+        min_size=400,
+        scale_r=2.0,
+        resize_mode="min",
+        rematch_per_call=False,
+        polish_fp64=True,
+        seed=0,
+    ):
+        self.params = resnet_params
+        self.n_iter = int(n_iter)
+        self.tolerance = float(tolerance)
+        self.transform = transform
+        self.n_points = 3 if transform == "affine" else 4
+        self.min_size = int(min_size)
+        self.scales = scale_list(nb_scale, scale_r)
+        self.resize_mode = resize_mode
+        self.rematch = bool(rematch_per_call)
+        self.polish_fp64 = bool(polish_fp64)
+        self._key = jax.random.PRNGKey(seed)
+        self._resize = resize_min_size if resize_mode == "min" else resize_max_size
+
+    # -- pair setup ---------------------------------------------------------
+
+    def set_source(self, img):
+        """Extract the multi-scale source feature bank. `img` is PIL."""
+        feats, xs, ys = [], [], []
+        imgs = [
+            self._resize(img, int(self.min_size * s)) for s in self.scales
+        ]
+        # mid-scale image is the one warped later (reference keeps IsList[n//2])
+        self.src_img = imgs[len(self.scales) // 2]
+        self.src_array = to_array(self.src_img)
+        for im in imgs:
+            arr = to_array(im)
+            f = _coarse_feats(self.params, jnp.asarray(arr)[None])
+            fh, fw = arr.shape[0] // STRIDE_NET, arr.shape[1] // STRIDE_NET
+            y, x = feature_cell_coords(fh, fw)
+            feats.append(f)
+            xs.append(x)
+            ys.append(y)
+        self._bank = jnp.concatenate(feats, axis=0)  # (nA, 1024)
+        self._coordsA = jnp.stack(
+            [jnp.concatenate(xs), jnp.concatenate(ys)], axis=1
+        )  # (nA, 2)
+
+    def set_target(self, img):
+        """Extract target features and (unless rematch mode) cache matches."""
+        self.tgt_img = self._resize(img, self.min_size)
+        self.tgt_array = to_array(self.tgt_img)
+        self._featt = _coarse_feats(self.params, jnp.asarray(self.tgt_array)[None])
+        self.feat_h = self.tgt_array.shape[0] // STRIDE_NET
+        self.feat_w = self.tgt_array.shape[1] // STRIDE_NET
+        y, x = feature_cell_coords(self.feat_h, self.feat_w)
+        self._coordsB = jnp.stack([x, y], axis=1)  # (nB, 2)
+        if not self.rematch:
+            res = mutual_matching(self._bank.T, self._featt.T)
+            self._cached_src, self._cached_valid = res.src_idx, res.valid
+        else:
+            n_b = self._featt.shape[0]
+            self._cached_src = jnp.zeros((n_b,), jnp.int32)
+            self._cached_valid = jnp.zeros((n_b,), bool)
+
+    def set_pair(self, img_src, img_tgt):
+        self.set_source(img_src)
+        self.set_target(img_tgt)
+
+    # -- per-iteration coarse fit ------------------------------------------
+
+    def get_coarse(self, exclusion_mask=None):
+        """Fit the dominant transform on the not-yet-excluded target region.
+
+        Args:
+          exclusion_mask: (Ht, Wt) float/bool array, 1 = exclude (already
+            matched / sky). None = use everything.
+
+        Returns (H21, inlier_mask_image) where H21 is a float32 (3, 3)
+        numpy array mapping target normalized coords to source normalized
+        coords, or (None, None) when no model is found; inlier_mask_image
+        marks inlier target cells on the (feat_h, feat_w) grid.
+        """
+        ht, wt = self.tgt_array.shape[:2]
+        if exclusion_mask is None:
+            exclusion_mask = np.zeros((ht, wt), np.float32)
+        mask_cell = _mask_to_cells(
+            jnp.asarray(exclusion_mask, jnp.float32), self.feat_h, self.feat_w
+        )
+        src_idx, valid = _match_masked(
+            self._bank,
+            self._featt,
+            mask_cell,
+            self._cached_src,
+            self._cached_valid,
+            self.rematch,
+        )
+        n_b = src_idx.shape[0]
+        ones = jnp.ones((n_b, 1), jnp.float32)
+        m1 = jnp.concatenate([self._coordsA[src_idx], ones], axis=1)
+        m2 = jnp.concatenate([self._coordsB, ones], axis=1)
+
+        if int(jnp.sum(valid)) < self.n_points:
+            return None, None
+
+        self._key, sub = jax.random.split(self._key)
+        res = ransac_homography(
+            sub,
+            m1,
+            m2,
+            valid,
+            self.tolerance,
+            n_iter=self.n_iter,
+            n_points=self.n_points,
+            transform=self.transform,
+        )
+        if not bool(res.found):
+            return None, None
+
+        H = np.asarray(res.H21, np.float64)
+        if self.polish_fp64 and self.transform == "homography":
+            sample = np.asarray(res.best_sample)
+            Xs = np.asarray(m1)[sample, :2]
+            Ys = np.asarray(m2)[sample, :2]
+            H = dlt_homography_np(Xs, Ys)
+
+        inlier = np.asarray(res.inlier_mask).reshape(self.feat_h, self.feat_w)
+        return H.astype(np.float32), inlier.astype(np.float32)
+
+    @property
+    def num_cached_matches(self):
+        return int(jnp.sum(self._cached_valid))

@@ -1,0 +1,142 @@
+"""End-to-end pipeline integration tests on synthetic pairs (CPU).
+
+Untrained CNN features are shift-equivariant, so a cell-aligned translation
+of a high-contrast texture is reliably trackable by the coarse matcher even
+with random weights. Image borders are excluded from matching via the
+exclusion-mask path (conv zero-padding gives border cells position-locked
+feature signatures that would otherwise vote for the identity transform —
+an untrained-weights artifact that trained features overpower).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from PIL import Image
+import pytest
+
+from ransacflow_tpu.models import init_resnet50_layer3
+from ransacflow_tpu.ops import warp_grid, grid_sample, apply_homography
+from ransacflow_tpu.pipeline import (
+    CoarseAligner,
+    RansacFlowAligner,
+    init_alignment_params,
+    multi_homography_predict,
+)
+
+H_IMG = W_IMG = 256
+BORDER = 48
+
+
+def _blocky_image(rng, h, w):
+    base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
+    img = np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
+    return Image.fromarray((img * 255).astype(np.uint8))
+
+
+def _translated_pair(rng, dx_px=32, dy_px=16):
+    """Source + target with H_true = normalized translation (target->source)."""
+    src = _blocky_image(rng, H_IMG, W_IMG)
+    tx, ty = 2 * dx_px / W_IMG, 2 * dy_px / H_IMG
+    H_true = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float32)
+    src_arr = np.asarray(src, np.float32) / 255.0
+    g = warp_grid(jnp.asarray(H_true)[None], H_IMG, W_IMG)
+    tgt_arr = np.asarray(grid_sample(jnp.asarray(src_arr)[None], g))[0]
+    tgt = Image.fromarray((np.clip(tgt_arr, 0, 1) * 255).astype(np.uint8))
+    return src, tgt, H_true
+
+
+def _border_mask():
+    m = np.ones((H_IMG, W_IMG), np.float32)
+    m[BORDER:-BORDER, BORDER:-BORDER] = 0
+    return m
+
+
+@pytest.fixture(scope="module")
+def resnet_params():
+    return init_resnet50_layer3(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def align_params():
+    return init_alignment_params(jax.random.PRNGKey(1))
+
+
+def _h_error(H_est, H_true, n=64):
+    rng = np.random.RandomState(0)
+    pts = rng.rand(n, 2) * 1.2 - 0.6
+    a = np.asarray(apply_homography(jnp.asarray(np.asarray(H_est, np.float32)),
+                                    jnp.asarray(pts.astype(np.float32))))
+    b = np.asarray(apply_homography(jnp.asarray(H_true), jnp.asarray(pts.astype(np.float32))))
+    return np.abs(a - b).mean()
+
+
+def test_coarse_aligner_recovers_translation(rng, resnet_params):
+    src, tgt, H_true = _translated_pair(rng)
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=3000,
+                           min_size=H_IMG)
+    coarse.set_pair(src, tgt)
+    assert coarse.num_cached_matches > 20
+    H, inlier = coarse.get_coarse(_border_mask())
+    assert H is not None
+    assert _h_error(H, H_true) < 0.02
+    assert inlier.shape == (coarse.feat_h, coarse.feat_w)
+    assert inlier.sum() >= 20
+
+
+def test_coarse_aligner_multiscale_and_rematch(rng, resnet_params):
+    src, tgt, H_true = _translated_pair(rng)
+    coarse = CoarseAligner(resnet_params, nb_scale=3, n_iter=3000,
+                           min_size=H_IMG, scale_r=1.2, rematch_per_call=True)
+    coarse.set_pair(src, tgt)
+    H, _ = coarse.get_coarse(_border_mask())
+    assert H is not None
+    assert _h_error(H, H_true) < 0.03
+
+
+def test_coarse_aligner_full_exclusion_returns_none(rng, resnet_params):
+    src, tgt, _ = _translated_pair(rng)
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=500,
+                           min_size=H_IMG)
+    coarse.set_pair(src, tgt)
+    H, _ = coarse.get_coarse(np.ones((H_IMG, W_IMG), np.float32))
+    assert H is None
+
+
+def test_align_images_end_to_end(rng, resnet_params, align_params):
+    src, tgt, H_true = _translated_pair(rng)
+    aligner = RansacFlowAligner(
+        align_params, resnet_params,
+        nb_scale=1, n_iter=3000, min_size=H_IMG, resize_mode="min",
+        rematch_per_call=False,
+    )
+    out = aligner.align_images(src, tgt, exclusion_mask=_border_mask())
+    assert out["H21"] is not None
+    assert _h_error(out["H21"], H_true) < 0.02
+    ht, wt = out["target"].shape[:2]
+    assert out["flow"].shape == (ht, wt, 2)
+    assert out["match"].shape == (ht, wt)
+    assert out["warped_fine"].shape == (ht, wt, 3)
+    # in the valid overlap region the coarse warp must align almost exactly
+    ov = np.s_[BORDER:-BORDER, BORDER:-BORDER]
+    err_id = np.abs(out["target"] - np.asarray(aligner.coarse.src_array))[ov].mean()
+    err_coarse = np.abs(out["target"] - out["warped_coarse"])[ov].mean()
+    assert err_coarse < 0.02
+    assert err_id > 0.1  # the pair was genuinely misaligned before
+
+
+def test_multi_homography_loop(rng, resnet_params, align_params):
+    src, tgt, H_true = _translated_pair(rng)
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=2000,
+                           min_size=H_IMG)
+    coarse.set_pair(src, tgt)
+    out = multi_homography_predict(
+        coarse, align_params, max_coarse=2, mask_region_th=0.01,
+        bg_mask=1.0 - _border_mask(),
+    )
+    assert out is not None
+    n = out["coarse_h"].shape[0]
+    assert 1 <= n <= 3
+    h8, w8 = H_IMG // 8, W_IMG // 8
+    assert out["fine_flow_down8"].shape == (n, h8, w8, 2)
+    assert out["fine_match_down8"].shape == (n, h8, w8, 2)
+    assert _h_error(out["coarse_h"][0], H_true) < 0.02
