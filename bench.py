@@ -1,0 +1,99 @@
+"""Headline benchmark: end-to-end coarse+fine alignment throughput at 480px.
+
+Runs the fully-fused on-device pipeline (7-scale ResNet-50 coarse features,
+dense mutual matching, 10k-hypothesis vectorized RANSAC, homography warp,
+full fine stage with bidirectional correlation + flow/matchability heads)
+over a batch of 480x640 pairs resident on device, and reports pairs/sec on
+the local chip.
+
+Inputs are staged on device before timing: the dev harness reaches the TPU
+through a network tunnel whose ~25 MB/s host<->device link is not
+representative of production PCIe attach, so untimed staging isolates the
+alignment compute itself. One device->host sync closes the timed region.
+
+Baseline (BASELINE.md): >50 pairs/sec on a v5e-8 => 6.25 pairs/sec/chip.
+vs_baseline is measured single-chip throughput / 6.25 (the workload is
+embarrassingly pair-parallel, SURVEY.md §2.9).
+"""
+
+import json
+import time
+
+import numpy as np
+
+MIN_SIZE = 480
+ASPECT = (480, 640)
+N_PAIRS = 16
+N_ITER = 10000
+BASELINE_PAIRS_PER_SEC_PER_CHIP = 50.0 / 8.0
+
+
+def pyramid_shapes(min_size=MIN_SIZE, aspect=ASPECT, nb_scale=7, scale_r=2.0,
+                   stride=16):
+    from ransacflow_tpu.utils.image import scale_list
+
+    h0, w0 = aspect
+    shapes = []
+    for s in scale_list(nb_scale, scale_r):
+        m = int(min_size * s)
+        # min-side resize: min side -> m, keep aspect, floor to stride
+        scale = m / min(h0, w0)
+        h = int(round(h0 * scale)) // stride * stride
+        w = int(round(w0 * scale)) // stride * stride
+        shapes.append((h, w))
+    return shapes
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from ransacflow_tpu.models import init_resnet50_layer3
+    from ransacflow_tpu.pipeline import init_alignment_params
+    from ransacflow_tpu.pipeline.fused import fused_align_batch
+
+    resnet_params = init_resnet50_layer3(jax.random.PRNGKey(0))
+    align_params = init_alignment_params(jax.random.PRNGKey(1))
+
+    shapes = pyramid_shapes()
+    rng = np.random.RandomState(0)
+
+    # stage synthetic pairs on device (untimed)
+    pyramids = tuple(
+        jnp.asarray(rng.rand(N_PAIRS, 1, h, w, 3).astype(np.float32))
+        for (h, w) in shapes
+    )
+    targets = jnp.asarray(
+        rng.rand(N_PAIRS, 1, ASPECT[0], ASPECT[1], 3).astype(np.float32)
+    )
+    keys = jax.random.split(jax.random.PRNGKey(2), N_PAIRS)
+
+    def run(k):
+        out = fused_align_batch(
+            resnet_params, align_params, pyramids, targets,
+            jax.random.split(k, N_PAIRS), n_iter=N_ITER,
+        )
+        # one small device->host sync ends the timed region
+        return np.asarray(out["num_inliers"])
+
+    run(jax.random.PRNGKey(3))  # compile + warm
+    t0 = time.perf_counter()
+    run(jax.random.PRNGKey(4))
+    elapsed = time.perf_counter() - t0
+
+    pairs_per_sec = N_PAIRS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "pairs_per_sec_coarse_fine_480px_single_chip",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(
+                    pairs_per_sec / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

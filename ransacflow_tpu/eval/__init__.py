@@ -1,0 +1,27 @@
+from ransacflow_tpu.eval.compose import (
+    reconstruct_flows,
+    merge_multi_h,
+    remove_small_cc,
+    fill_flow_nearest,
+)
+from ransacflow_tpu.eval.artifacts import save_pair, load_pair, check_complete
+from ransacflow_tpu.eval.hpatches import (
+    predict_hpatches,
+    evaluate_hpatches,
+    hpatches_gt_grid,
+)
+from ransacflow_tpu.eval.corr import predict_corr, evaluate_corr, PIXEL_GRID
+from ransacflow_tpu.eval.yfcc import (
+    predict_yfcc,
+    evaluate_yfcc,
+    pick_rotation,
+    matches_from_flow,
+    norm_kp,
+    pose_error,
+    estimate_pose,
+)
+from ransacflow_tpu.eval.kitti import (
+    predict_kitti,
+    evaluate_kitti,
+    read_kitti_flow,
+)

@@ -72,7 +72,7 @@ def ransac_homography(
     n_points=4,
     transform="homography",
     det_gate="abs",
-    dlt_method="eigh",
+    dlt_method="projective",
 ):
     """Vectorized RANSAC over padded match arrays.
 
@@ -110,12 +110,17 @@ def ransac_homography(
         else:
             model_ok = jnp.abs(dets) > DET_EPS
 
-    # score ALL hypotheses at once; XLA fuses the error chain into the
-    # inlier-count reduction, so the (n_iter, N) error matrix never fully
-    # materializes in HBM.
-    err = reprojection_error(match1, match2, H21)  # (n_iter, N)
-    is_inlier = (err < tolerance) & valid[None, :]
-    counts = jnp.sum(is_inlier, axis=1).astype(jnp.int32)
+    # score ALL hypotheses at once, MXU-shaped: three (N, 3) @ (3, n_iter)
+    # matmuls give the projected homogeneous coordinates of every match
+    # under every hypothesis; the squared-error compare and the inlier
+    # count fuse into the matmul consumers. err < tol == err^2 < tol^2.
+    ex = jnp.dot(match2, H21[:, 0, :].T, preferred_element_type=jnp.float32)
+    ey = jnp.dot(match2, H21[:, 1, :].T, preferred_element_type=jnp.float32)
+    ez = jnp.dot(match2, H21[:, 2, :].T, preferred_element_type=jnp.float32)
+    du = ex / ez - match1[:, 0:1]  # (N, n_iter)
+    dv = ey / ez - match1[:, 1:2]
+    is_inlier = (du * du + dv * dv < tolerance * tolerance) & valid[:, None]
+    counts = jnp.sum(is_inlier, axis=0).astype(jnp.int32)
     counts = counts * (unique & model_ok).astype(jnp.int32)
 
     best = jnp.argmax(counts)

@@ -43,7 +43,8 @@ def _depthwise_conv(x, kernel2d, pad):
     )
 
 
-def masked_ssim_loss(img1, img2, match, window_size=11, sigma=1.5):
+def masked_ssim_loss(img1, img2, match, window_size=11, sigma=1.5,
+                     axis_name=None):
     """SSIM dissimilarity between img1 and img2, weighted by matchability.
 
     Args:
@@ -73,4 +74,10 @@ def masked_ssim_loss(img1, img2, match, window_size=11, sigma=1.5):
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
     )
-    return jnp.sum((1.0 - ssim_map) * mask) / jnp.sum(mask) / 3.0
+    num = jnp.sum((1.0 - ssim_map) * mask)
+    den = jnp.sum(mask)
+    if axis_name is not None:
+        # global ratio across the data mesh: DP == single-device large batch
+        num = lax.psum(num, axis_name)
+        den = lax.psum(den, axis_name)
+    return num / den / 3.0

@@ -1,0 +1,6 @@
+from ransacflow_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    sharded_ransac,
+)

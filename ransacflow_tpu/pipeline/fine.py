@@ -22,9 +22,9 @@ from ransacflow_tpu.ops.sampler import grid_sample, interpolate_bilinear
 from ransacflow_tpu.ops.grid import normalized_grid
 
 
-@partial(jax.jit, static_argnames=("cycle_match", "kernel_size"))
+@partial(jax.jit, static_argnames=("cycle_match", "kernel_size", "out_hw"))
 def pred_flow_mask(params, src, featt, flow_coarse, cycle_match=False,
-                   kernel_size=7):
+                   kernel_size=7, out_hw=None):
     """Run the fine stage for one coarse hypothesis.
 
     Args:
@@ -33,14 +33,17 @@ def pred_flow_mask(params, src, featt, flow_coarse, cycle_match=False,
       featt: (1, Ht/8, Wt/8, 256) L2-normalized target fine features.
       flow_coarse: (1, Ht, Wt, 2) coarse sampling grid (target -> source).
       cycle_match: multiply match12 by back-warped match21.
+      out_hw: optional (H, W) to compose/upsample at instead of the coarse
+        grid's resolution (KITTI composes the full pass at the original GT
+        resolution while warping at fineSize, evalKITTI/evaluation.py:302).
 
     Returns dict with:
-      flow: (1, Ht, Wt, 2) composed fine flow (target -> source, normalized)
-      match: (Ht, Wt) matchability * in-bounds indicator
+      flow: (1, H, W, 2) composed fine flow (target -> source, normalized)
+      match: (H, W) matchability * in-bounds indicator
       flow_down8: (1, Ht/8, Wt/8, 2) raw fine flow at stride 8
       match_down8: (1, Ht/8, Wt/8, 2) cat(match12, match21) at stride 8
     """
-    ht, wt = flow_coarse.shape[1:3]
+    ht, wt = out_hw if out_hw is not None else flow_coarse.shape[1:3]
 
     src_warp = grid_sample(src, flow_coarse)
     feats, _ = feature_extractor(params["netFeatCoarse"], src_warp)

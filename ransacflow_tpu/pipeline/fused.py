@@ -1,0 +1,142 @@
+"""Fully-fused on-device alignment: one jitted program per pair geometry.
+
+The host-orchestrated pipeline (coarse.py + fine.py) mirrors the reference's
+staging and supports masks/multi-homography iteration. This module is the
+serving/throughput path: multi-scale coarse features, mutual matching,
+vectorized RANSAC, homography warp, and the full fine stage compiled into a
+SINGLE XLA program — zero host round trips per pair. Batching over pairs is
+a `lax.scan` around it (`fused_align_batch`).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ransacflow_tpu.models.resnet50 import resnet50_layer3, imagenet_preprocess
+from ransacflow_tpu.models.layers import l2_normalize
+from ransacflow_tpu.ops.grid import feature_cell_coords
+from ransacflow_tpu.ops.matching import mutual_matching
+from ransacflow_tpu.ops.ransac import ransac_homography
+from ransacflow_tpu.ops.homography import warp_grid
+from ransacflow_tpu.pipeline.fine import pred_flow_mask
+
+
+def _bank_coords(pyramid_shapes, stride=16):
+    """Static (nA, 2) (x, y) cell coords for a pyramid of image shapes."""
+    xs, ys = [], []
+    for (h, w) in pyramid_shapes:
+        y, x = feature_cell_coords(h // stride, w // stride)
+        xs.append(x)
+        ys.append(y)
+    return jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_iter", "kernel_size", "cycle_match"),
+)
+def fused_align(
+    resnet_params,
+    align_params,
+    pyramid,
+    target,
+    key,
+    tolerance=0.05,
+    n_iter=10000,
+    kernel_size=7,
+    cycle_match=True,
+):
+    """Align one pair entirely on device.
+
+    Args:
+      pyramid: tuple of (1, Hi, Wi, 3) source images at the coarse scales
+        (the middle entry is the one warped by the fine stage).
+      target: (1, Ht, Wt, 3) target image.
+      key: PRNG key for RANSAC sampling.
+
+    Returns dict: 'H21' (3,3), 'found' (), 'num_inliers' (), 'flow'
+    (1,Ht,Wt,2), 'match' (Ht,Wt), 'flow_down8', 'match_down8'.
+    """
+    # -- coarse features ----------------------------------------------------
+    feats = []
+    for img in pyramid:
+        f, _ = resnet50_layer3(resnet_params, imagenet_preprocess(img))
+        feats.append(l2_normalize(f, axis=-1).reshape(-1, f.shape[-1]))
+    bank = jnp.concatenate(feats, axis=0)  # (nA, 1024)
+    coords_a = _bank_coords([img.shape[1:3] for img in pyramid])
+
+    ft, _ = resnet50_layer3(resnet_params, imagenet_preprocess(target))
+    ft = l2_normalize(ft, axis=-1)
+    fh, fw = ft.shape[1:3]
+    featt = ft.reshape(-1, ft.shape[-1])  # (nB, 1024)
+    y, x = feature_cell_coords(fh, fw)
+    coords_b = jnp.stack([x, y], axis=1)
+
+    # -- matching + RANSAC --------------------------------------------------
+    m = mutual_matching(bank.T, featt.T)
+    n_b = coords_b.shape[0]
+    ones = jnp.ones((n_b, 1), jnp.float32)
+    m1 = jnp.concatenate([coords_a[m.src_idx], ones], axis=1)
+    m2 = jnp.concatenate([coords_b, ones], axis=1)
+    res = ransac_homography(
+        key, m1, m2, m.valid, tolerance, n_iter=n_iter
+    )
+
+    # -- fine stage ---------------------------------------------------------
+    ht, wt = target.shape[1:3]
+    flow_coarse = warp_grid(res.H21[None], ht, wt)
+    src = pyramid[len(pyramid) // 2]
+    featt_fine_in = target
+    from ransacflow_tpu.pipeline.fine import fine_features
+
+    featt_fine = fine_features(align_params, featt_fine_in)
+    out = pred_flow_mask(
+        align_params, src, featt_fine, flow_coarse,
+        cycle_match=cycle_match, kernel_size=kernel_size,
+    )
+    return {
+        "H21": res.H21,
+        "found": res.found,
+        "num_inliers": res.num_inliers,
+        "flow": out["flow"],
+        "match": out["match"],
+        "flow_down8": out["flow_down8"],
+        "match_down8": out["match_down8"],
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_iter", "kernel_size", "cycle_match"),
+)
+def fused_align_batch(
+    resnet_params,
+    align_params,
+    pyramids,
+    targets,
+    keys,
+    tolerance=0.05,
+    n_iter=10000,
+    kernel_size=7,
+    cycle_match=True,
+):
+    """Scan `fused_align` over a batch of pairs resident on device.
+
+    Args:
+      pyramids: tuple of (K, 1, Hi, Wi, 3) stacked scale images.
+      targets: (K, 1, Ht, Wt, 3).
+      keys: (K, 2) PRNG keys.
+    Returns dict of stacked outputs (leading axis K).
+    """
+
+    def body(_, inp):
+        pyr, tgt, k = inp
+        out = fused_align(
+            resnet_params, align_params, tuple(pyr), tgt, k,
+            tolerance, n_iter, kernel_size, cycle_match,
+        )
+        return None, out
+
+    _, outs = jax.lax.scan(body, None, (tuple(pyramids), targets, keys))
+    return outs

@@ -1,0 +1,331 @@
+"""Eval subsystem tests: compose/merge semantics on synthetic data, plus
+each harness end-to-end on tiny synthetic datasets (translation pairs with
+border exclusion — see test_pipeline.py for why untrained features need
+both)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from ransacflow_tpu.models import init_resnet50_layer3
+from ransacflow_tpu.pipeline import init_alignment_params
+from ransacflow_tpu.eval import (
+    merge_multi_h,
+    remove_small_cc,
+    fill_flow_nearest,
+    save_pair,
+    load_pair,
+    check_complete,
+    matches_from_flow,
+    norm_kp,
+    pose_error,
+    estimate_pose,
+)
+
+H_IMG = W_IMG = 160
+DX_PX, DY_PX = 16, 16  # one full feature cell each (stride 16)
+BORDER = 32
+
+
+@pytest.fixture(scope="module")
+def resnet_params():
+    return init_resnet50_layer3(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def align_params():
+    return init_alignment_params(jax.random.PRNGKey(1))
+
+
+def _blocky(rng, h, w):
+    base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
+    return np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
+
+
+def _translation_pair(rng):
+    """(src PIL, tgt PIL): tgt(x, y) = src(x + DX, y + DY)."""
+    from ransacflow_tpu.ops import warp_grid, grid_sample
+
+    src_arr = _blocky(rng, H_IMG, W_IMG)
+    tx, ty = 2 * DX_PX / W_IMG, 2 * DY_PX / H_IMG
+    H21 = np.array([[1, 0, tx], [0, 1, ty], [0, 0, 1]], np.float32)
+    g = warp_grid(jnp.asarray(H21)[None], H_IMG, W_IMG)
+    tgt_arr = np.asarray(grid_sample(jnp.asarray(src_arr)[None], g))[0]
+    to_img = lambda a: Image.fromarray(
+        (np.clip(a, 0, 1) * 255).astype(np.uint8))
+    return to_img(src_arr), to_img(tgt_arr)
+
+
+def _fg_border_mask(h, w, border=BORDER):
+    m = np.zeros((h, w), np.float32)
+    m[border:-border, border:-border] = 1.0
+    return m
+
+
+# ---------------------------------------------------------------------------
+# compose / merge / artifact primitives
+# ---------------------------------------------------------------------------
+
+
+def test_merge_multi_h_first_accept():
+    flows = np.stack([np.full((4, 4, 2), 0.1), np.full((4, 4, 2), 0.9)])
+    matches = np.zeros((2, 4, 4))
+    matches[0, :2] = 1.0   # first H matched on top half
+    matches[1] = 1.0       # second H matched everywhere
+    out = merge_multi_h(flows, matches, th=1.0)
+    # top half keeps H0's flow, bottom half gets H1's
+    assert np.all(out["flow"][:2] == 0.1)
+    assert np.all(out["flow"][2:] == 0.9)
+    assert out["match_binary"].all()
+    # multi_h off: only the first H counts
+    out1 = merge_multi_h(flows, matches, th=1.0, multi_h=False)
+    assert np.all(out1["flow"] == 0.1)
+    assert not out1["match_binary"][2:].any()
+
+
+def test_merge_aggregate_match():
+    flows = np.zeros((2, 3, 3, 2))
+    matches = np.stack([np.full((3, 3), 0.2), np.full((3, 3), 0.97)])
+    out = merge_multi_h(flows, matches, th=0.95, aggregate_match=True)
+    np.testing.assert_allclose(out["match"], 0.97)
+
+
+def test_remove_small_cc():
+    m = np.zeros((20, 20), np.float32)
+    m[:10, :10] = 1.0      # big component (25%)
+    m[15, 15] = 1.0        # single pixel (0.25%)
+    out = remove_small_cc(m.copy(), cc_th=0.01)
+    assert out[5, 5] == 1.0
+    assert out[15, 15] == 0.0
+    # cc_th=0 disables cleanup
+    np.testing.assert_array_equal(remove_small_cc(m.copy(), 0.0), m)
+
+
+def test_fill_flow_nearest():
+    flow = np.zeros((4, 4, 2))
+    flow[0, 0] = [1.0, 2.0]
+    match = np.zeros((4, 4), bool)
+    match[0, 0] = True
+    out = fill_flow_nearest(flow, match)
+    np.testing.assert_allclose(out[3, 3], [1.0, 2.0])
+
+
+def test_artifact_roundtrip(tmp_path):
+    pred = {
+        "coarse_h": np.eye(3)[None],
+        "fine_flow_down8": np.zeros((1, 4, 5, 2)),
+        "fine_match_down8": np.ones((1, 4, 5, 2)),
+        "bg_mask": np.ones((32, 40), bool),
+    }
+    save_pair(str(tmp_path), 3, pred, rotation=np.int32(90))
+    art = load_pair(str(tmp_path), 3)
+    assert int(art["rotation"]) == 90
+    np.testing.assert_array_equal(art["coarse_h"], pred["coarse_h"])
+    assert load_pair(str(tmp_path), 99) is None
+    assert check_complete(str(tmp_path), [3, 99]) == [99]
+
+
+# ---------------------------------------------------------------------------
+# HPatches harness end-to-end (synthetic translation scene)
+# ---------------------------------------------------------------------------
+
+
+def _write_hpatches_dataset(tmp_path, rng):
+    import pandas as pd
+
+    src, tgt = _translation_pair(rng)
+    obj_dir = tmp_path / "imgs" / "obj1"
+    os.makedirs(obj_dir)
+    src.save(obj_dir / "1.ppm")
+    tgt.save(obj_dir / "2.ppm")
+    # pixel-space H mapping source px -> target px: x_t = x_s - DX
+    H_px = np.array(
+        [[1, 0, -DX_PX], [0, 1, -DY_PX], [0, 0, 1]], np.float64
+    )
+    row = {
+        "obj": "obj1", "im1": 1, "im2": 2,
+        "Him": H_IMG, "Wim": W_IMG,
+    }
+    for r in range(3):
+        for c in range(3):
+            row[f"h{r}{c}"] = H_px[r, c]
+    csv_dir = tmp_path / "csv"
+    os.makedirs(csv_dir)
+    pd.DataFrame([row]).to_csv(csv_dir / "hpatches_1_2.csv", index=False)
+    return str(csv_dir), str(tmp_path / "imgs")
+
+
+def test_hpatches_harness_end_to_end(tmp_path, rng, resnet_params,
+                                     align_params):
+    from ransacflow_tpu.eval import predict_hpatches, evaluate_hpatches
+
+    csv_dir, image_dir = _write_hpatches_dataset(tmp_path, rng)
+    pred_dir = str(tmp_path / "pred")
+    predict_hpatches(
+        csv_dir, image_dir, pred_dir, resnet_params, align_params,
+        scenes=(2,), min_size=H_IMG, nb_scale=1, n_iter=3000,
+        max_coarse=1,
+        bg_mask_fn=lambda path, hw: _fg_border_mask(*hw),
+    )
+    assert load_pair(os.path.join(pred_dir, "2"), 0) is not None
+    res, per_pair = evaluate_hpatches(
+        pred_dir, csv_dir, image_dir, scenes=(2,), out_size=160,
+        only_coarse=True,
+    )
+    # coarse-only AEPE on an exactly-recoverable translation: ~0 px
+    assert res[2] < 1.0, res
+    # with the (untrained) fine stage the flow stays in a sane range
+    res_fine, _ = evaluate_hpatches(
+        pred_dir, csv_dir, image_dir, scenes=(2,), out_size=160, th=0.0,
+    )
+    assert res_fine[2] < 25.0, res_fine
+
+
+# ---------------------------------------------------------------------------
+# Corr harness end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_corr_harness_end_to_end(tmp_path, rng, resnet_params, align_params):
+    import pandas as pd
+    from ransacflow_tpu.eval import predict_corr, evaluate_corr
+
+    src, tgt = _translation_pair(rng)
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    src.save(img_dir / "a.jpg")
+    tgt.save(img_dir / "b.jpg")
+    # annotated correspondences on the central region
+    n = 12
+    xt = rng.randint(BORDER, W_IMG - BORDER, n)
+    yt = rng.randint(BORDER, H_IMG - BORDER, n)
+    xs, ys = xt + DX_PX, yt + DY_PX
+    df = pd.DataFrame([
+        {
+            "scene": "/", "source_image": "a.jpg", "target_image": "b.jpg",
+            "XA": ";".join(map(str, xs)), "YA": ";".join(map(str, ys)),
+            "XB": ";".join(map(str, xt)), "YB": ";".join(map(str, yt)),
+        }
+    ])
+    csv_path = str(tmp_path / "pairs.csv")
+    df.to_csv(csv_path, index=False)
+    pred_dir = str(tmp_path / "pred")
+    predict_corr(
+        csv_path, str(img_dir), pred_dir, resnet_params, align_params,
+        min_size=H_IMG, nb_scale=1, n_iter=3000, max_coarse=0,
+        bg_mask_fn=lambda row, hw: _fg_border_mask(*hw),
+    )
+    res = evaluate_corr(pred_dir, csv_path, str(img_dir), min_size=H_IMG)
+    prec, total = res[0.0]
+    assert total == n
+    assert prec[-1] > 0.8  # precision @36px with near-exact coarse
+
+
+# ---------------------------------------------------------------------------
+# YFCC geometry utilities
+# ---------------------------------------------------------------------------
+
+
+def test_matches_from_flow_rotation():
+    flow = np.zeros((4, 4, 2), np.float32)
+    flow[1, 2] = [0.0, 0.0]  # source center
+    mb = np.zeros((4, 4), bool)
+    mb[1, 2] = True
+    pts1, pts2 = matches_from_flow(flow, mb, (4, 4), (4, 4), 0)
+    np.testing.assert_allclose(pts1[0], [1.5, 1.5])
+    np.testing.assert_allclose(pts2[0], [2, 1])
+    # 90-deg rotation: target grid rotated back
+    pts1r, pts2r = matches_from_flow(flow, mb, (4, 4), (4, 4), 90)
+    assert pts2r[0].tolist() != pts2[0].tolist()
+
+
+def test_norm_kp_identity_K():
+    K = np.eye(3)
+    kp = np.array([[3.0, 1.0]])
+    out = norm_kp((8, 8), (8, 8), K, kp)
+    np.testing.assert_allclose(out, (kp - 3.5) / 1.0)
+
+
+def test_pose_error_zero_for_identical():
+    R = np.eye(3)
+    t = np.array([1.0, 0, 0])
+    eq, et = pose_error(R, t, R, t)
+    assert eq < 1e-3 and et < 1e-3
+
+
+def test_estimate_pose_recovers_synthetic_motion(rng):
+    """Classic two-view: random 3D points seen by two cameras."""
+    n = 200
+    pts3d = np.stack([
+        rng.rand(n) * 2 - 1, rng.rand(n) * 2 - 1, rng.rand(n) * 2 + 4
+    ], axis=1)
+    angle = 0.1
+    R = np.array([
+        [np.cos(angle), 0, np.sin(angle)],
+        [0, 1, 0],
+        [-np.sin(angle), 0, np.cos(angle)],
+    ])
+    t = np.array([0.5, 0.1, 0.0])
+    p1 = pts3d[:, :2] / pts3d[:, 2:]
+    cam2 = (R @ pts3d.T).T + t
+    p2 = cam2[:, :2] / cam2[:, 2:]
+    pose = estimate_pose(p1, p2, use_ransac=True, threshold=0.001)
+    assert pose is not None
+    eq, et = pose_error(R, t, pose[0], pose[1])
+    assert eq < 1.0 and et < 2.0
+
+
+def test_pick_rotation_finds_prerotated_target(rng, resnet_params):
+    from ransacflow_tpu.pipeline import CoarseAligner
+    from ransacflow_tpu.eval import pick_rotation
+
+    src, tgt = _translation_pair(rng)
+    tgt_rot = tgt.rotate(90, expand=True)  # needs 270 more to align
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=1500,
+                           min_size=H_IMG)
+    coarse.set_source(src)
+    angle, rotated, _ = pick_rotation(coarse, tgt_rot)
+    assert angle == 270
+
+
+# ---------------------------------------------------------------------------
+# KITTI harness end-to-end
+# ---------------------------------------------------------------------------
+
+
+def test_kitti_harness_end_to_end(tmp_path, rng, resnet_params, align_params):
+    import cv2
+    from ransacflow_tpu.eval import predict_kitti, evaluate_kitti
+
+    src, tgt = _translation_pair(rng)
+    img_dir = tmp_path / "image_2"
+    gt_dir = tmp_path / "flow_noc"
+    os.makedirs(img_dir)
+    os.makedirs(gt_dir)
+    src.save(img_dir / "000000_11.png")
+    tgt.save(img_dir / "000000_10.png")
+    # GT: constant flow (DX, DY), valid everywhere; BGR = (valid, v, u)
+    u = np.full((H_IMG, W_IMG), DX_PX * 64.0 + 32768, np.uint16)
+    v = np.full((H_IMG, W_IMG), DY_PX * 64.0 + 32768, np.uint16)
+    ok = np.ones((H_IMG, W_IMG), np.uint16)
+    cv2.imwrite(str(gt_dir / "000000_10.png"), np.stack([ok, v, u], axis=-1))
+
+    pred_dir = str(tmp_path / "pred")
+    predict_kitti(
+        str(img_dir), pred_dir, resnet_params, align_params,
+        coarse_size=H_IMG, fine_size=128, nb_scale=1, n_iter=3000,
+        end_index=1, max_coarse=0,
+        bg_mask_fn=lambda path, hw: _fg_border_mask(*hw),
+    )
+    art = load_pair(pred_dir, 0)
+    assert art is not None and "fine_flow_d2_down8" in art
+    mean_epe, per = evaluate_kitti(pred_dir, str(gt_dir), n_pairs=1,
+                                   only_coarse=True)
+    assert mean_epe < 1.5, mean_epe
+    mean_fine, _ = evaluate_kitti(pred_dir, str(gt_dir), n_pairs=1,
+                                  th=0.0, cc_th=0.0)
+    assert np.isfinite(mean_fine)
