@@ -1,0 +1,69 @@
+"""Shared CLI plumbing: weight loading and coarse-net selection."""
+
+import jax
+
+
+def load_align_params(resume_path, kernel_size=7):
+    """Alignment nets from a reference .pth, an orbax dir, or random init."""
+    from ransacflow_tpu.pipeline import init_alignment_params
+
+    if not resume_path:
+        print("WARNING: no --resumePth given, using random-init nets")
+        return init_alignment_params(jax.random.PRNGKey(0), kernel_size)
+    if resume_path.endswith(".pth"):
+        from ransacflow_tpu.models import load_alignment_checkpoint
+
+        return load_alignment_checkpoint(resume_path)
+    from ransacflow_tpu.train import load_checkpoint
+
+    return load_checkpoint(resume_path)["params"]
+
+
+def load_coarse_net(moco_path=None, imagenet_path=None):
+    """Coarse ResNet-50 trunk weights.
+
+    The reference selects torchvision-pretrained (--imageNet) or the MoCo
+    checkpoint; in this offline environment both must be provided as files.
+    Falls back to random init with a warning.
+    """
+    from ransacflow_tpu.models import load_resnet50_trunk, init_resnet50_layer3
+
+    if moco_path:
+        return load_resnet50_trunk(moco_path, moco=True)
+    if imagenet_path:
+        return load_resnet50_trunk(imagenet_path)
+    print("WARNING: no coarse-feature weights given, using random init")
+    return init_resnet50_layer3(jax.random.PRNGKey(0))
+
+
+def add_model_args(parser):
+    parser.add_argument("--resumePth", type=str, default=None,
+                        help="alignment checkpoint (.pth or orbax dir)")
+    parser.add_argument("--kernelSize", type=int, default=7)
+    parser.add_argument("--mocoPth", type=str, default=None,
+                        help="MoCo ResNet-50 .pth for coarse features")
+    parser.add_argument("--imageNetPth", type=str, default=None,
+                        help="torchvision ResNet-50 state_dict .pth")
+
+
+def add_segnet_args(parser):
+    parser.add_argument("--segNet", action="store_true",
+                        help="remove sky with the segmentation net")
+    parser.add_argument("--segEncoderPth", type=str, default=None)
+    parser.add_argument("--segDecoderPth", type=str, default=None)
+
+
+def build_sky_fn(args, rotated=False):
+    if not getattr(args, "segNet", False):
+        return None
+    from ransacflow_tpu.models import (
+        state_dict_to_tree,
+        load_torch_checkpoint,
+        SkySegmenter,
+    )
+    from ransacflow_tpu.eval import make_sky_bg_fn, make_sky_bg_fn_rotated
+
+    enc = state_dict_to_tree(load_torch_checkpoint(args.segEncoderPth))
+    dec = state_dict_to_tree(load_torch_checkpoint(args.segDecoderPth))
+    seg = SkySegmenter(enc, dec, seg_id=2, seg_fg=False)
+    return make_sky_bg_fn_rotated(seg) if rotated else make_sky_bg_fn(seg)

@@ -1,0 +1,82 @@
+"""MegaDepth/RobotCar sparse-correspondence harness CLI.
+
+  python -m ransacflow_tpu.cli.eval_corr predict --testCSV pairs.csv \
+      --testDir imgs/ --outDir pred/ [--resumePth model.pth]
+  python -m ransacflow_tpu.cli.eval_corr results --predDir pred/ \
+      --testCSV pairs.csv --testDir imgs/ --dataset MegaDepth --multiH
+"""
+
+import argparse
+
+from ransacflow_tpu.cli.common import (
+    add_model_args,
+    add_segnet_args,
+    load_align_params,
+    load_coarse_net,
+    build_sky_fn,
+)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("predict")
+    add_model_args(p)
+    add_segnet_args(p)
+    p.add_argument("--testCSV", type=str, required=True)
+    p.add_argument("--testDir", type=str, required=True)
+    p.add_argument("--outDir", type=str, required=True)
+    p.add_argument("--coarseIter", type=int, default=10000)
+    p.add_argument("--maskRegionTh", type=float, default=0.01)
+    p.add_argument("--maxCoarse", type=int, default=10)
+    p.add_argument("--coarsetolerance", type=float, default=0.05)
+    p.add_argument("--nbScale", type=int, default=7)
+    p.add_argument("--minSize", type=int, default=480)
+    p.add_argument("--scaleR", type=float, default=2.0)
+    p.add_argument("--beginIndex", type=int, default=0)
+    p.add_argument("--endIndex", type=int, default=None)
+
+    r = sub.add_parser("results")
+    r.add_argument("--predDir", type=str, required=True)
+    r.add_argument("--testCSV", type=str, required=True)
+    r.add_argument("--testDir", type=str, required=True)
+    r.add_argument("--dataset", type=str, default="MegaDepth",
+                   choices=["MegaDepth", "RobotCar"])
+    r.add_argument("--multiH", action="store_true")
+    r.add_argument("--th", type=float, default=0.95)
+    r.add_argument("--minSize", type=int, default=480)
+    r.add_argument("--matchabilityTH", type=float, nargs="+", default=[0.0])
+
+    args = parser.parse_args()
+
+    if args.cmd == "predict":
+        from ransacflow_tpu.eval import predict_corr
+
+        predict_corr(
+            args.testCSV, args.testDir, args.outDir,
+            load_coarse_net(args.mocoPth, args.imageNetPth),
+            load_align_params(args.resumePth, args.kernelSize),
+            min_size=args.minSize, nb_scale=args.nbScale,
+            n_iter=args.coarseIter, tolerance=args.coarsetolerance,
+            scale_r=args.scaleR, max_coarse=args.maxCoarse,
+            mask_region_th=args.maskRegionTh,
+            begin_index=args.beginIndex, end_index=args.endIndex,
+            bg_mask_fn=None if not args.segNet else
+            (lambda row, hw, fn=build_sky_fn(args): fn(row, hw)),
+        )
+    else:
+        from ransacflow_tpu.eval import evaluate_corr, PIXEL_GRID
+
+        res = evaluate_corr(
+            args.predDir, args.testCSV, args.testDir, dataset=args.dataset,
+            min_size=args.minSize, multi_h=args.multiH, th=args.th,
+            matchability_th=tuple(args.matchabilityTH),
+        )
+        print("pixel thresholds:", PIXEL_GRID)
+        for mth, (prec, total) in res.items():
+            print(f"threshold {mth:.1f}, precision {prec}, n={total}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""YFCC two-view geometry harness CLI.
+
+  python -m ransacflow_tpu.cli.eval_yfcc predict --testImg data/YFCC/images \
+      --testPair data/YFCC/pairs --testScene reichstag --outDir pred/
+  python -m ransacflow_tpu.cli.eval_yfcc results --predDir pred/ \
+      --gtPath data/YFCC/images --testPair data/YFCC/pairs \
+      --scene 2 --multiH --ransac
+"""
+
+import argparse
+import json
+import os
+
+from ransacflow_tpu.cli.common import (
+    add_model_args,
+    add_segnet_args,
+    load_align_params,
+    load_coarse_net,
+    build_sky_fn,
+)
+from ransacflow_tpu.eval.yfcc import SCENES
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("predict")
+    add_model_args(p)
+    add_segnet_args(p)
+    p.add_argument("--testImg", type=str, required=True)
+    p.add_argument("--testPair", type=str, required=True)
+    p.add_argument("--testScene", type=str, default=None, choices=SCENES)
+    p.add_argument("--outDir", type=str, required=True)
+    p.add_argument("--minSize", type=int, default=480)
+    p.add_argument("--coarseIter", type=int, default=10000)
+    p.add_argument("--maskRegionTh", type=float, default=0.01)
+    p.add_argument("--maxCoarse", type=int, default=10)
+    p.add_argument("--coarsetolerance", type=float, default=0.05)
+    p.add_argument("--nbScale", type=int, default=7)
+    p.add_argument("--scaleR", type=float, default=2.0)
+    p.add_argument("--beginIndex", type=int, default=0)
+    p.add_argument("--endIndex", type=int, default=1000)
+
+    r = sub.add_parser("results")
+    r.add_argument("--predDir", type=str, required=True)
+    r.add_argument("--gtPath", type=str, required=True)
+    r.add_argument("--testPair", type=str, required=True)
+    r.add_argument("--scene", type=int, choices=[0, 1, 2, 3], required=True)
+    r.add_argument("--multiH", action="store_true")
+    r.add_argument("--ransac", action="store_true")
+    r.add_argument("--threshold", type=float, default=0.0005)
+    r.add_argument("--th", type=float, default=0.95)
+    r.add_argument("--outRes", type=str, default="out.json")
+
+    args = parser.parse_args()
+
+    if args.cmd == "predict":
+        from ransacflow_tpu.eval import predict_yfcc
+        from ransacflow_tpu.pipeline import CoarseAligner
+
+        coarse = CoarseAligner(
+            load_coarse_net(args.mocoPth, args.imageNetPth),
+            nb_scale=args.nbScale, n_iter=args.coarseIter,
+            tolerance=args.coarsetolerance, min_size=args.minSize,
+            scale_r=args.scaleR, resize_mode="min",
+        )
+        align = load_align_params(args.resumePth, args.kernelSize)
+        scenes = [args.testScene] if args.testScene else list(SCENES)
+        for scene in scenes:
+            predict_yfcc(
+                os.path.join(args.testPair, f"{scene}-te-1000-pairs.pkl"),
+                os.path.join(args.testImg, scene, "test"),
+                os.path.join(args.outDir, scene),
+                coarse, align,
+                max_coarse=args.maxCoarse,
+                mask_region_th=args.maskRegionTh,
+                begin_index=args.beginIndex, end_index=args.endIndex,
+                bg_mask_fn=build_sky_fn(args, rotated=True),
+            )
+    else:
+        from ransacflow_tpu.eval import evaluate_yfcc
+
+        scene = SCENES[args.scene]
+        errors, accs = evaluate_yfcc(
+            os.path.join(args.predDir, scene),
+            os.path.join(args.testPair, f"{scene}-te-1000-pairs.pkl"),
+            os.path.join(args.gtPath, scene, "test"),
+            multi_h=args.multiH, th=args.th,
+            use_ransac=args.ransac, threshold=args.threshold,
+        )
+        for k, v in accs.items():
+            print(f"Scene {scene} {k}: {v:.4f}")
+        with open(args.outRes, "w") as f:
+            json.dump({scene: errors, "accs": accs}, f)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Training CLI (train/train.py mirror + stage presets).
+
+Usage:
+  python -m ransacflow_tpu.cli.train --trainImgDir data/train --outDir runs/s1 \
+      --stage 1                               # curriculum preset
+  python -m ransacflow_tpu.cli.train --trainMode flow+match --mu-cycle 1 ... \
+      valMegaDepth --valCSV ... --valImgDir ... --inPklCoarse ...
+
+`--stage {1,2,3}` applies the reference's stage1/2/3.sh presets; explicit
+flags override. `--nDevices N` enables data-parallel training over a mesh.
+"""
+
+import argparse
+
+import jax
+
+from ransacflow_tpu.cli.common import load_align_params
+from ransacflow_tpu.train.loop import fit, resume_params, STAGES
+from ransacflow_tpu.pipeline import init_alignment_params
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nEpochs", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--trainImgDir", type=str, required=True)
+    parser.add_argument("--kernelSize", type=int, default=7)
+    parser.add_argument("--imgSize", type=int, default=224)
+    parser.add_argument("--batchSize", type=int, default=16)
+    parser.add_argument("--outDir", type=str, required=True)
+    parser.add_argument("--resumePth", type=str, default=None)
+    parser.add_argument("--lambda-match", type=float, default=0.01,
+                        dest="lambda_match")
+    parser.add_argument("--mu-cycle", type=float, default=None,
+                        dest="mu_cycle")
+    parser.add_argument("--grad", type=float, default=None)
+    parser.add_argument("--trainMode", choices=["flow", "flow+match", "grad"],
+                        default=None)
+    parser.add_argument("--margin", type=int, default=88)
+    parser.add_argument("--stage", type=int, choices=[1, 2, 3], default=None,
+                        help="curriculum preset (stage1/2/3.sh)")
+    parser.add_argument("--nDevices", type=int, default=1)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--maxStepsPerEpoch", type=int, default=None)
+
+    sub = parser.add_subparsers(title="validation choice", dest="subcommand")
+    val = sub.add_parser("valMegaDepth")
+    val.add_argument("--valImgDir", type=str, required=True)
+    val.add_argument("--valCSV", type=str, required=True)
+    val.add_argument("--inPklCoarse", type=str, required=True)
+    noval = sub.add_parser("NoVal")
+    noval.add_argument("--epochSaveModel", type=int, default=10)
+
+    args = parser.parse_args()
+
+    cfg = dict(mode="flow", mu_cycle=0.0, lambda_match=0.01,
+               grad_weight=0.0, epochs=150)
+    if args.stage is not None:
+        cfg.update(STAGES[args.stage])
+    if args.trainMode is not None:
+        cfg["mode"] = args.trainMode
+    if args.mu_cycle is not None:
+        cfg["mu_cycle"] = args.mu_cycle
+    if args.grad is not None:
+        cfg["grad_weight"] = args.grad
+    if args.nEpochs is not None:
+        cfg["epochs"] = args.nEpochs
+    cfg["lambda_match"] = args.lambda_match
+    if "match" not in cfg["mode"]:
+        cfg["lambda_match"] = 0.0
+        print("trainMode without matchability: lambda_match forced to 0")
+
+    params = init_alignment_params(jax.random.PRNGKey(args.seed),
+                                   args.kernelSize)
+    if args.resumePth:
+        params = resume_params(args.resumePth, params)
+
+    fit(
+        params,
+        args.trainImgDir,
+        args.outDir,
+        mode=cfg["mode"],
+        mu_cycle=cfg["mu_cycle"],
+        lambda_match=cfg["lambda_match"],
+        grad_weight=cfg["grad_weight"],
+        epochs=cfg["epochs"],
+        batch_size=args.batchSize,
+        img_size=args.imgSize,
+        margin=args.margin,
+        lr=args.lr,
+        kernel_size=args.kernelSize,
+        val_csv=getattr(args, "valCSV", None),
+        val_dir=getattr(args, "valImgDir", None),
+        val_coarse_pkl=getattr(args, "inPklCoarse", None),
+        epoch_save_model=getattr(args, "epochSaveModel", 10),
+        n_devices=args.nDevices,
+        seed=args.seed,
+        max_steps_per_epoch=args.maxStepsPerEpoch,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,3 +25,8 @@ from ransacflow_tpu.eval.kitti import (
     evaluate_kitti,
     read_kitti_flow,
 )
+from ransacflow_tpu.eval.sky import (
+    make_sky_bg_fn,
+    make_sky_bg_fn_rotated,
+    resize_mask,
+)

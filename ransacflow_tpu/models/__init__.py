@@ -20,4 +20,12 @@ from ransacflow_tpu.models.convert import (
     state_dict_to_tree,
     load_alignment_checkpoint,
     load_resnet50_trunk,
+    load_torch_checkpoint,
+)
+from ransacflow_tpu.models.segnet import (
+    init_segnet_encoder,
+    init_segnet_decoder,
+    segnet_encoder,
+    segnet_decoder,
+    SkySegmenter,
 )

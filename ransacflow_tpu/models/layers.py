@@ -23,12 +23,14 @@ BN_EPS = 1e-5
 BN_MOMENTUM = 0.1  # torch convention: new = (1 - m) * old + m * batch
 
 
-def conv2d(x, weight, bias=None, stride=1, padding=1, groups=1):
+def conv2d(x, weight, bias=None, stride=1, padding=1, groups=1, dilation=1):
     """2-D conv, NHWC activations, HWIO weights, symmetric zero padding."""
     if isinstance(stride, int):
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
+    if isinstance(dilation, int):
+        dilation = (dilation, dilation)
     out = lax.conv_general_dilated(
         x,
         weight,
@@ -36,6 +38,7 @@ def conv2d(x, weight, bias=None, stride=1, padding=1, groups=1):
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
+        rhs_dilation=dilation,
     )
     if bias is not None:
         out = out + bias

@@ -30,9 +30,13 @@ from ransacflow_tpu.ops.homography import (
     warp_grid,
     apply_homography,
     dlt_homography,
+    dlt_homography_np,
     fit_affine,
+    fit_hough,
+    fit_translation,
     reprojection_error,
 )
+from ransacflow_tpu.ops.saliency import saliency_coef
 from ransacflow_tpu.ops.matching import mutual_matching
 from ransacflow_tpu.ops.ransac import ransac_homography, RansacResult
 from ransacflow_tpu.ops.blurpool import blur_pool, binomial_filter

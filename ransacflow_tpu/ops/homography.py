@@ -228,6 +228,62 @@ def fit_affine(X, Y):
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def fit_hough(X, Y):
+    """Axis-aligned scale + translation fit (reference: utils/outil.py:57-66;
+    defined for completeness — unused by the main path there too).
+
+    Solves, per axis, least-squares [y, 1] @ [a, b] = x. Batched via 2x2
+    normal equations.
+
+    Args:
+      X: (..., N, 2|3) source, Y: (..., N, 2|3) target.
+    Returns (..., 3, 3) diag-scale + translation matrices.
+    """
+    def axis_fit(y, x):
+        ones = jnp.ones_like(y)
+        a11 = jnp.sum(y * y, -1)
+        a12 = jnp.sum(y, -1)
+        a22 = jnp.sum(ones, -1)
+        b1 = jnp.sum(y * x, -1)
+        b2 = jnp.sum(x, -1)
+        det = a11 * a22 - a12 * a12
+        s = (a22 * b1 - a12 * b2) / det
+        t = (a11 * b2 - a12 * b1) / det
+        return s, t
+
+    sx, tx = axis_fit(Y[..., 0], X[..., 0])
+    sy, ty = axis_fit(Y[..., 1], X[..., 1])
+    zeros = jnp.zeros_like(sx)
+    ones = jnp.ones_like(sx)
+    return jnp.stack(
+        [
+            jnp.stack([sx, zeros, tx], -1),
+            jnp.stack([zeros, sy, ty], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        axis=-2,
+    )
+
+
+def fit_translation(X, Y):
+    """Single-correspondence translation (reference: utils/outil.py:89-95).
+
+    Uses the FIRST point of each set, as the reference does.
+    """
+    tx = X[..., 0, 0] - Y[..., 0, 0]
+    ty = X[..., 0, 1] - Y[..., 0, 1]
+    zeros = jnp.zeros_like(tx)
+    ones = jnp.ones_like(tx)
+    return jnp.stack(
+        [
+            jnp.stack([ones, zeros, tx], -1),
+            jnp.stack([zeros, ones, ty], -1),
+            jnp.stack([zeros, zeros, ones], -1),
+        ],
+        axis=-2,
+    )
+
+
 def reprojection_error(match1, match2, H21):
     """L2 reprojection error of each correspondence under each H21.
 

@@ -1,0 +1,113 @@
+"""CLI smoke tests (subprocess, CPU, tiny inputs)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    JAX_COMPILATION_CACHE_DIR=os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_ransacflow"
+    ),
+    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
+)
+
+
+def _run(args, timeout=560):
+    return subprocess.run(
+        [sys.executable, "-m"] + args,
+        capture_output=True, text=True, env=ENV, timeout=timeout,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+
+
+# The full-pipeline CLI subprocesses each pay fresh import + trace + compile
+# (minutes on the CPU test backend even with the persistent cache), so the
+# heavyweight ones are opt-in; the in-process pipeline tests cover the same
+# code paths.
+slow_cli = pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW_CLI"),
+    reason="set RUN_SLOW_CLI=1 to run full-pipeline CLI subprocess tests",
+)
+
+
+@slow_cli
+def test_align_cli(tmp_path, rng):
+    a = tmp_path / "a.png"
+    b = tmp_path / "b.png"
+    img = (np.kron((rng.rand(40, 40, 3) > 0.5), np.ones((4, 4, 1))) * 255)
+    Image.fromarray(img.astype(np.uint8)[:160, :160]).save(a)
+    Image.fromarray(np.roll(img.astype(np.uint8)[:160, :160], 16, 1)).save(b)
+    out = tmp_path / "out"
+    r = _run([
+        "ransacflow_tpu.cli.align", "--img1", str(a), "--img2", str(b),
+        "--outdir", str(out) + "/", "--nbScale", "1", "--coarseIter", "2000",
+        "--minSize", "160",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "fine_aligned_source.png").exists()
+    assert (out / "comb_coarse_alignment.png").exists()
+    H = np.load(out / "H21.npy")
+    assert H.shape == (3, 3) and np.isfinite(H).all()
+
+
+def test_train_cli_one_step(tmp_path, rng):
+    data = tmp_path / "train"
+    os.makedirs(data)
+    for idx in range(3):
+        for v in (1, 2):
+            arr = (rng.rand(80, 80, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(data / f"{idx}_{v}.jpg")
+    out = tmp_path / "run"
+    r = _run([
+        "ransacflow_tpu.cli.train", "--trainImgDir", str(data),
+        "--outDir", str(out), "--stage", "1", "--nEpochs", "1",
+        "--batchSize", "2", "--imgSize", "32", "--margin", "8",
+        "--maxStepsPerEpoch", "1", "NoVal", "--epochSaveModel", "1",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "metrics.jsonl").exists()
+    assert any("checkpoint_epoch" in p for p in os.listdir(out))
+
+
+def test_resize_cli(tmp_path, rng):
+    src = tmp_path / "in"
+    os.makedirs(src)
+    Image.fromarray((rng.rand(120, 90, 3) * 255).astype(np.uint8)).save(
+        src / "x.png")
+    dst = tmp_path / "out"
+    r = _run([
+        "ransacflow_tpu.cli.resize_dataset", "--inputDir", str(src),
+        "--outputDir", str(dst), "--maxSize", "60",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    img = Image.open(dst / "0.png")
+    assert max(img.size) == 60
+
+
+@slow_cli
+def test_generate_pairs_cli(tmp_path, rng):
+    import pandas as pd
+
+    imgs = tmp_path / "imgs"
+    os.makedirs(imgs)
+    base = (np.kron((rng.rand(40, 40, 3) > 0.5),
+                    np.ones((4, 4, 1))) * 255).astype(np.uint8)[:160, :160]
+    Image.fromarray(base).save(imgs / "a.jpg")
+    Image.fromarray(np.roll(base, 16, axis=1)).save(imgs / "b.jpg")
+    pd.DataFrame([{"imgA": "a.jpg", "imgB": "b.jpg"}]).to_csv(
+        tmp_path / "pairs.csv", index=False)
+    out = tmp_path / "out"
+    r = _run([
+        "ransacflow_tpu.cli.generate_pairs", "--pairCSV",
+        str(tmp_path / "pairs.csv"), "--imgDir", str(imgs), "--outDir",
+        str(out), "--minSize", "160", "--nbIter", "2000", "--minInliers", "10",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kept" in r.stdout
