@@ -25,6 +25,10 @@ from ransacflow_tpu.eval.kitti import (
     evaluate_kitti,
     read_kitti_flow,
 )
+from ransacflow_tpu.eval.aachen import (
+    export_correspondences,
+    write_match_file,
+)
 from ransacflow_tpu.eval.sky import (
     make_sky_bg_fn,
     make_sky_bg_fn_rotated,

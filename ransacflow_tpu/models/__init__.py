@@ -1,4 +1,8 @@
-from ransacflow_tpu.models.layers import l2_normalize, merge_bn_stats
+from ransacflow_tpu.models.layers import (
+    l2_normalize,
+    merge_bn_stats,
+    cast_params,
+)
 from ransacflow_tpu.models.feature_extractor import (
     init_feature_extractor,
     feature_extractor,
@@ -10,6 +14,8 @@ from ransacflow_tpu.models.heads import (
     net_matchability,
     flow_gradient_magnitude,
     flow_to_grid,
+    pred_flow_coarse,
+    pred_flow_coarse_no_grad,
 )
 from ransacflow_tpu.models.resnet50 import (
     init_resnet50_layer3,

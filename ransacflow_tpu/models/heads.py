@@ -99,6 +99,22 @@ def net_matchability(params, corr, up8=True, train=False, axis_name=None):
     return m, stats
 
 
+def pred_flow_coarse(params, corr, grid, up8=True, kernel_size=7,
+                     train=False, axis_name=None):
+    """Reference-API convenience: (flow_gradient, absolute sampling grid)
+    (model/model.py:331-340)."""
+    flow, stats = net_flow_coarse(params, corr, up8, kernel_size, train,
+                                  axis_name)
+    return flow_gradient_magnitude(flow), flow_to_grid(flow, grid), stats
+
+
+def pred_flow_coarse_no_grad(params, corr, grid, up8=True, kernel_size=7):
+    """Reference-API convenience: absolute sampling grid only
+    (model/model.py:342-350)."""
+    flow, _ = net_flow_coarse(params, corr, up8, kernel_size)
+    return flow_to_grid(flow, grid)
+
+
 def flow_gradient_magnitude(flow):
     """Diagonal forward-difference magnitude of a (B, H, W, 2) flow field.
 

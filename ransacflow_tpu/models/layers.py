@@ -130,6 +130,19 @@ def bn_init(c, dtype=jnp.float32):
     }
 
 
+def cast_params(params, dtype):
+    """Cast all floating-point leaves of a param tree (e.g. to bfloat16 for
+    the throughput path; keep fp32 for strict reference parity)."""
+    import jax
+
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, params)
+
+
 def merge_bn_stats(params, stats):
     """Fold a {path: {running_mean, running_var}} update back into params.
 

@@ -18,6 +18,27 @@ def binomial_filter(filt_size):
     )
 
 
+def blur_pool_1d(x, filt_size=3, stride=2):
+    """1-D anti-aliased downsample along the middle axis of (B, L, C)
+    (the reference also vendors Downsample1D, model/downsample.py:60-100;
+    unused by its main path, kept for API completeness)."""
+    a = binomial_filter(filt_size)
+    a = a / a.sum()
+    C = x.shape[-1]
+    kernel = jnp.asarray(np.tile(a[:, None, None], (1, 1, C)), x.dtype)
+    pad_lo = (filt_size - 1) // 2
+    pad_hi = int(np.ceil((filt_size - 1) / 2))
+    x = jnp.pad(x, ((0, 0), (pad_lo, pad_hi), (0, 0)), mode="reflect")
+    return lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(stride,),
+        padding="VALID",
+        dimension_numbers=("NLC", "LIO", "NLC"),
+        feature_group_count=C,
+    )
+
+
 def blur_pool(x, filt_size=3, stride=2):
     """Reflect-pad + normalized binomial depthwise conv with stride.
 

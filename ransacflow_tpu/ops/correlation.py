@@ -14,7 +14,7 @@ corresponds to target offset (di - k//2) rows, (dj - k//2) cols.
 import jax.numpy as jnp
 
 
-def correlation_volume(x, y, kernel_size=7):
+def correlation_volume(x, y, kernel_size=7, use_pallas=False):
     """Channel-wise local correlation between feature maps.
 
     Args:
@@ -22,10 +22,20 @@ def correlation_volume(x, y, kernel_size=7):
       y: (B, H, W, C) — features sampled at shifted positions (zero padding
         outside), i.e. ``corr[b, i, j, di*k+dj] =
         sum_c x[b,i,j,c] * y[b, i+di-p, j+dj-p, c]`` with p = k//2.
+      use_pallas: route through the VMEM-resident Pallas kernel
+        (ops/pallas_corr.py) when the target fits on-chip.
 
     Returns (B, H, W, k*k).
     """
     assert kernel_size % 2 == 1
+    if use_pallas:
+        from ransacflow_tpu.ops.pallas_corr import (
+            correlation_volume_pallas,
+            fits_vmem,
+        )
+
+        if fits_vmem(*x.shape[1:], kernel_size):
+            return correlation_volume_pallas(x, y, kernel_size)
     p = kernel_size // 2
     B, H, W, C = x.shape
     y_pad = jnp.pad(y, ((0, 0), (p, p), (p, p), (0, 0)))

@@ -329,3 +329,24 @@ def test_kitti_harness_end_to_end(tmp_path, rng, resnet_params, align_params):
     mean_fine, _ = evaluate_kitti(pred_dir, str(gt_dir), n_pairs=1,
                                   th=0.0, cc_th=0.0)
     assert np.isfinite(mean_fine)
+
+
+def test_aachen_export(tmp_path, rng, resnet_params, align_params):
+    from ransacflow_tpu.pipeline import CoarseAligner
+    from ransacflow_tpu.eval import export_correspondences, write_match_file
+
+    src, tgt = _translation_pair(rng)
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=2000,
+                           min_size=H_IMG)
+    src.save(tmp_path / "q.jpg")
+    tgt.save(tmp_path / "d.jpg")
+    corr = export_correspondences(
+        coarse, align_params, str(tmp_path / "q.jpg"), str(tmp_path / "d.jpg"),
+        match_th=0.0, max_coarse=0,
+    )
+    assert corr is not None
+    n = len(corr["query_xy"])
+    assert n > 0 and corr["db_xy"].shape == (n, 2)
+    write_match_file(str(tmp_path / "matches.txt"), "q_d", corr)
+    lines = open(tmp_path / "matches.txt").read().splitlines()
+    assert lines[0].startswith("# q_d") and len(lines) == n + 1

@@ -112,3 +112,32 @@ def test_masked_ssim_matches_torch(rng):
         torch.from_numpy(match).permute(0, 3, 1, 2),
     )
     np.testing.assert_allclose(ours, gold, rtol=1e-4)
+
+
+def test_pallas_correlation_matches_xla(rng):
+    """Pallas kernel (interpret mode on CPU) == XLA formulation."""
+    from ransacflow_tpu.ops.pallas_corr import correlation_volume_pallas
+
+    for (h, w, c) in [(13, 17, 32), (8, 8, 16), (20, 11, 64)]:
+        x = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
+        y = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
+        gold = correlation_volume(x, y)
+        ours = correlation_volume_pallas(x, y, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(gold),
+                                   atol=1e-4)
+
+
+def test_blur_pool_1d_matches_torch(rng):
+    from ransacflow_tpu.ops import blur_pool_1d
+    from math import comb, ceil
+
+    x = rng.randn(2, 21, 5).astype(np.float32)
+    for filt_size in (3, 5):
+        a = torch.tensor([float(comb(filt_size - 1, i)) for i in range(filt_size)])
+        filt = (a / a.sum())[None, None, :].repeat(5, 1, 1)
+        lo, hi = (filt_size - 1) // 2, ceil((filt_size - 1) / 2)
+        xt = torch.from_numpy(x).permute(0, 2, 1)
+        gold = F.conv1d(F.pad(xt, (lo, hi), mode="reflect"), filt, stride=2,
+                        groups=5).permute(0, 2, 1).numpy()
+        ours = np.asarray(blur_pool_1d(jnp.asarray(x), filt_size, stride=2))
+        np.testing.assert_allclose(ours, gold, atol=1e-5)
