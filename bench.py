@@ -17,9 +17,15 @@ embarrassingly pair-parallel, SURVEY.md §2.9).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeated bench runs skip the slow
+# first-compile (set before importing jax)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_ransacflow")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 MIN_SIZE = 480
 ASPECT = (480, 640)

@@ -115,6 +115,11 @@ def pred_flow_coarse_no_grad(params, corr, grid, up8=True, kernel_size=7):
     return flow_to_grid(flow, grid)
 
 
+def pred_matchability(params, corr, up8=True, train=False, axis_name=None):
+    """Reference-API alias for `net_matchability` (model/model.py:353-357)."""
+    return net_matchability(params, corr, up8, train, axis_name)
+
+
 def flow_gradient_magnitude(flow):
     """Diagonal forward-difference magnitude of a (B, H, W, 2) flow field.
 
