@@ -73,6 +73,7 @@ def ransac_homography(
     transform="homography",
     det_gate="abs",
     dlt_method="projective",
+    injected_samples=None,
 ):
     """Vectorized RANSAC over padded match arrays.
 
@@ -85,16 +86,26 @@ def ransac_homography(
       tolerance: inlier threshold in normalized [-1, 1] units.
       n_iter: number of hypotheses (static).
       transform: 'homography' (4-pt DLT) or 'affine' (3-pt LSQ).
+      injected_samples: optional (n_iter, n_points) int32 match indices to
+        use INSTEAD of PRNG sampling — the deterministic parity mode
+        (SURVEY.md §7): torch and JAX PRNG streams can't be bit-matched, but
+        with identical minimal sets the solve/score path can be compared
+        directly against the reference.
 
     Returns RansacResult.
     """
     N = match1.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
-    # stable partition: valid match indices first
-    order = jnp.argsort(~valid, stable=True)  # (N,) int
-    raw, unique = _sample_minimal_sets(key, n_valid, n_points, n_iter)
-    samples = order[raw]  # (n_iter, n_points) indices into match arrays
+    if injected_samples is not None:
+        samples = injected_samples
+        eq = samples[:, :, None] == samples[:, None, :]
+        unique = jnp.sum(eq, axis=(1, 2)) <= n_points
+    else:
+        # stable partition: valid match indices first
+        order = jnp.argsort(~valid, stable=True)  # (N,) int
+        raw, unique = _sample_minimal_sets(key, n_valid, n_points, n_iter)
+        samples = order[raw]  # (n_iter, n_points) indices into match arrays
 
     X = match1[samples]  # (n_iter, n_points, 3)
     Y = match2[samples]

@@ -3,4 +3,5 @@ from ransacflow_tpu.parallel.mesh import (
     replicate,
     shard_batch,
     sharded_ransac,
+    sharded_align_pairs,
 )

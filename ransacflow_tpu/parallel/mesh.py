@@ -37,6 +37,43 @@ def shard_batch(tree, mesh, axis="data"):
     return jax.device_put(tree, sharding)
 
 
+def sharded_align_pairs(mesh, resnet_params, align_params, pyramids, targets,
+                        keys, tolerance=0.05, n_iter=10000, kernel_size=7,
+                        cycle_match=True):
+    """Shard a batch of same-shape pairs across the mesh and run the fused
+    coarse+fine program on each device's shard (the v5e-8 serving layout:
+    pairs are embarrassingly parallel, params replicated, zero collectives
+    in the hot path).
+
+    Args:
+      pyramids: tuple of (K, 1, Hi, Wi, 3) stacked scale images, K divisible
+        by the mesh size.
+      targets: (K, 1, Ht, Wt, 3); keys: (K, 2).
+    Returns stacked outputs with leading axis K (gathered).
+    """
+    from ransacflow_tpu.pipeline.fused import fused_align_batch
+
+    n_dev = mesh.devices.size
+    assert targets.shape[0] % n_dev == 0, "pair count must divide mesh size"
+
+    def local(pyrs, tgts, ks):
+        return fused_align_batch(
+            resnet_params, align_params, tuple(pyrs), tgts, ks,
+            tolerance, n_iter, kernel_size, cycle_match,
+        )
+
+    f = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+        check_rep=False,
+    )
+    pyr_r = tuple(jax.device_put(p, NamedSharding(mesh, P("data")))
+                  for p in pyramids)
+    return f(pyr_r, shard_batch(targets, mesh), shard_batch(keys, mesh))
+
+
 def sharded_ransac(mesh, key, match1, match2, valid, tolerance, n_iter=10000,
                    **kwargs):
     """RANSAC with hypotheses sharded over the mesh: each device scores

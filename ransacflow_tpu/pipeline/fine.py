@@ -65,11 +65,17 @@ def pred_flow_mask(params, src, featt, flow_coarse, cycle_match=False,
     grid = normalized_grid(ht, wt, flow_up.dtype)[None]
     flow_up = jnp.clip(flow_up + grid, -1.0, 1.0)
 
-    flow12 = grid_sample(flow_coarse, flow_up)
-
+    # flow12 and the back-warped match21 sample the SAME grid — gather once
+    # over concatenated channels (grid_sample cost is position-dominated on
+    # TPU, so this halves the second-largest cost of the fine stage)
     if cycle_match:
-        match = match12 * grid_sample(match21, flow_up)
+        sampled = grid_sample(
+            jnp.concatenate([flow_coarse, match21], axis=-1), flow_up
+        )
+        flow12 = sampled[..., :2]
+        match = match12 * sampled[..., 2:3]
     else:
+        flow12 = grid_sample(flow_coarse, flow_up)
         match = match12
 
     in_bounds = (

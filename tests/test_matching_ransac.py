@@ -136,3 +136,48 @@ def test_feature_cell_coords_match_reference_formula():
     gold_x = (((np.tile(np.arange(4), 3) + 0.5) / 4) - 0.5) * 2
     np.testing.assert_allclose(np.asarray(y), gold_y, atol=1e-6)
     np.testing.assert_allclose(np.asarray(x), gold_x, atol=1e-6)
+
+
+def _numpy_reference_ransac(samples, m1, m2, tolerance):
+    """The reference's scoring semantics (utils/outil.py:102-113) in pure
+    numpy fp64: batched DLT via SVD null vector, det > 1e-6 gate (absolute
+    value here, see ops/ransac.py docstring), inlier counting."""
+    from ransacflow_tpu.ops.homography import dlt_homography_np
+
+    best_h, best_count, counts = None, -1, []
+    for s in samples:
+        if len(set(s.tolist())) < 4:
+            counts.append(0)
+            continue
+        H = dlt_homography_np(m1[s, :2], m2[s, :2])
+        if abs(np.linalg.det(H)) <= 1e-6:
+            counts.append(0)
+            continue
+        est = m2[:, :2] @ H[:2, :2].T + H[:2, 2]
+        z = m2[:, :2] @ H[2, :2] + H[2, 2]
+        est = est / z[:, None]
+        err = np.sqrt(((m1[:, :2] - est) ** 2).sum(1))
+        counts.append(int((err < tolerance).sum()))
+    return np.array(counts)
+
+
+def test_ransac_injected_samples_match_reference_semantics(rng):
+    """Deterministic parity mode: identical minimal sets -> the winner and
+    its inlier count agree with a fp64 numpy implementation of the
+    reference scoring."""
+    m1, m2, H, n_out = _make_ransac_problem(rng, n=120, noise=0.002)
+    n_iter = 64
+    samples = rng.randint(0, 120, (n_iter, 4)).astype(np.int32)
+    res = ransac_homography(
+        jax.random.PRNGKey(0), jnp.asarray(m1), jnp.asarray(m2),
+        jnp.ones(120, bool), tolerance=0.05, n_iter=n_iter,
+        injected_samples=jnp.asarray(samples),
+    )
+    gold_counts = _numpy_reference_ransac(samples, m1.astype(np.float64),
+                                          m2.astype(np.float64), 0.05)
+    # fp32 on-device vs fp64 numpy: counts match within a couple of
+    # borderline correspondences per hypothesis
+    assert int(res.num_inliers) >= gold_counts.max() - 2
+    best = int(np.argmax(gold_counts))
+    np.testing.assert_array_equal(np.asarray(res.best_sample),
+                                  samples[np.argmax(gold_counts)])

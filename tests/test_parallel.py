@@ -1,0 +1,54 @@
+"""Mesh-sharded paths on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ransacflow_tpu.parallel import (
+    make_mesh,
+    sharded_ransac,
+    sharded_align_pairs,
+)
+from ransacflow_tpu.models import init_resnet50_layer3
+from ransacflow_tpu.pipeline import init_alignment_params
+from ransacflow_tpu.ops import apply_homography
+
+
+def test_sharded_ransac_recovers_model(rng):
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    H = np.array([[1, 0, 0.3], [0, 1, -0.2], [0, 0, 1]], np.float32)
+    m2 = (rng.rand(200, 2) * 1.6 - 0.8).astype(np.float32)
+    m1 = np.asarray(apply_homography(jnp.asarray(H), jnp.asarray(m2)))
+    ones = np.ones((200, 1), np.float32)
+    res = sharded_ransac(
+        mesh, jax.random.PRNGKey(0),
+        jnp.asarray(np.concatenate([m1, ones], 1)),
+        jnp.asarray(np.concatenate([m2, ones], 1)),
+        jnp.ones(200, bool), tolerance=0.05, n_iter=2048,
+    )
+    assert bool(res.found)
+    assert int(res.num_inliers) > 150
+    Hn = np.asarray(res.H21, np.float64)
+    Hn = Hn / Hn[2, 2]
+    np.testing.assert_allclose(Hn, H, atol=5e-2)
+
+
+def test_sharded_align_pairs_runs_on_mesh(rng):
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    resnet = init_resnet50_layer3(jax.random.PRNGKey(0))
+    align = init_alignment_params(jax.random.PRNGKey(1))
+
+    K = 8
+    h = w = 64
+    pyramids = (jnp.asarray(rng.rand(K, 1, h, w, 3).astype(np.float32)),)
+    targets = jnp.asarray(rng.rand(K, 1, h, w, 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(2), K)
+    out = sharded_align_pairs(
+        mesh, resnet, align, pyramids, targets, keys, n_iter=256,
+    )
+    assert out["H21"].shape == (K, 3, 3)
+    assert out["flow"].shape == (K, 1, h, w, 2)
+    assert np.isfinite(np.asarray(out["H21"])).all()
