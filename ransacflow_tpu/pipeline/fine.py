@@ -67,13 +67,18 @@ def pred_flow_mask(params, src, featt, flow_coarse, cycle_match=False,
 
     # flow12 and the back-warped match21 sample the SAME grid — gather once
     # over concatenated channels (grid_sample cost is position-dominated on
-    # TPU, so this halves the second-largest cost of the fine stage)
-    if cycle_match:
+    # TPU, so this halves the second-largest cost of the fine stage). Only
+    # possible when both live at the same resolution (KITTI's cross-
+    # resolution compose has flow_coarse at fineSize but match21 at out_hw).
+    if cycle_match and match21.shape[1:3] == flow_coarse.shape[1:3]:
         sampled = grid_sample(
             jnp.concatenate([flow_coarse, match21], axis=-1), flow_up
         )
         flow12 = sampled[..., :2]
         match = match12 * sampled[..., 2:3]
+    elif cycle_match:
+        flow12 = grid_sample(flow_coarse, flow_up)
+        match = match12 * grid_sample(match21, flow_up)
     else:
         flow12 = grid_sample(flow_coarse, flow_up)
         match = match12
