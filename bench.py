@@ -73,10 +73,17 @@ def main():
     )
     keys = jax.random.split(jax.random.PRNGKey(2), N_PAIRS)
 
+    # 'scan' wins at the default 10k-hypothesis RANSAC: vmap batches the
+    # (pairs x matches x hypotheses) scoring intermediates into multi-GB
+    # HBM traffic that outweighs the batched-conv gains (measured 21.5 vs
+    # 30.1 pairs/s)
+    batch_mode = os.environ.get("RANSACFLOW_BENCH_MODE", "scan")
+
     def run(k):
         out = fused_align_batch(
             resnet_params, align_params, pyramids, targets,
             jax.random.split(k, N_PAIRS), n_iter=N_ITER,
+            batch_mode=batch_mode,
         )
         # one small device->host sync ends the timed region
         return np.asarray(out["num_inliers"])

@@ -108,7 +108,7 @@ def fused_align(
 
 @partial(
     jax.jit,
-    static_argnames=("n_iter", "kernel_size", "cycle_match"),
+    static_argnames=("n_iter", "kernel_size", "cycle_match", "batch_mode"),
 )
 def fused_align_batch(
     resnet_params,
@@ -120,23 +120,33 @@ def fused_align_batch(
     n_iter=10000,
     kernel_size=7,
     cycle_match=True,
+    batch_mode="scan",
 ):
-    """Scan `fused_align` over a batch of pairs resident on device.
+    """Run `fused_align` over a batch of pairs resident on device.
 
     Args:
       pyramids: tuple of (K, 1, Hi, Wi, 3) stacked scale images.
       targets: (K, 1, Ht, Wt, 3).
       keys: (K, 2) PRNG keys.
+      batch_mode: 'scan' runs pairs sequentially (minimal memory — wins at
+        large n_iter where RANSAC scoring intermediates dominate), 'vmap'
+        batches every stage across pairs (better for small n_iter / small
+        images where conv batching pays).
     Returns dict of stacked outputs (leading axis K).
     """
 
-    def body(_, inp):
-        pyr, tgt, k = inp
-        out = fused_align(
+    def one(pyr, tgt, k):
+        return fused_align(
             resnet_params, align_params, tuple(pyr), tgt, k,
             tolerance, n_iter, kernel_size, cycle_match,
         )
-        return None, out
+
+    if batch_mode == "vmap":
+        return jax.vmap(one)(tuple(pyramids), targets, keys)
+
+    def body(_, inp):
+        pyr, tgt, k = inp
+        return None, one(pyr, tgt, k)
 
     _, outs = jax.lax.scan(body, None, (tuple(pyramids), targets, keys))
     return outs

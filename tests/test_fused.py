@@ -1,0 +1,55 @@
+"""Fused serving-path tests (CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ransacflow_tpu.models import init_resnet50_layer3
+from ransacflow_tpu.pipeline import init_alignment_params
+from ransacflow_tpu.pipeline.fused import fused_align, fused_align_batch
+
+
+@pytest.fixture(scope="module")
+def nets():
+    return (
+        init_resnet50_layer3(jax.random.PRNGKey(0)),
+        init_alignment_params(jax.random.PRNGKey(1)),
+    )
+
+
+def _batch(rng, k, h=64, w=64):
+    pyramids = (
+        jnp.asarray(rng.rand(k, 1, h, w, 3).astype(np.float32)),
+        jnp.asarray(rng.rand(k, 1, h // 2, w // 2, 3).astype(np.float32)),
+    )
+    targets = jnp.asarray(rng.rand(k, 1, h, w, 3).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(2), k)
+    return pyramids, targets, keys
+
+
+def test_fused_align_single_pair(rng, nets):
+    resnet, align = nets
+    pyramids, targets, keys = _batch(rng, 1)
+    out = fused_align(
+        resnet, align, tuple(p[0] for p in pyramids), targets[0], keys[0],
+        n_iter=256,
+    )
+    assert out["H21"].shape == (3, 3)
+    assert out["flow"].shape == (1, 64, 64, 2)
+    assert np.isfinite(np.asarray(out["flow"])).all()
+
+
+def test_fused_batch_modes_agree(rng, nets):
+    resnet, align = nets
+    pyramids, targets, keys = _batch(rng, 3)
+    a = fused_align_batch(resnet, align, pyramids, targets, keys,
+                          n_iter=256, batch_mode="scan")
+    b = fused_align_batch(resnet, align, pyramids, targets, keys,
+                          n_iter=256, batch_mode="vmap")
+    np.testing.assert_allclose(np.asarray(a["H21"]), np.asarray(b["H21"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["num_inliers"]),
+                               np.asarray(b["num_inliers"]))
+    np.testing.assert_allclose(np.asarray(a["flow"]), np.asarray(b["flow"]),
+                               atol=1e-4)
