@@ -19,7 +19,7 @@ from ransacflow_tpu.ops.grid import feature_cell_coords
 from ransacflow_tpu.ops.matching import mutual_matching
 from ransacflow_tpu.ops.ransac import ransac_homography
 from ransacflow_tpu.ops.homography import warp_grid
-from ransacflow_tpu.pipeline.fine import pred_flow_mask
+from ransacflow_tpu.pipeline.fine import pred_flow_mask, fine_features
 
 
 def _bank_coords(pyramid_shapes, stride=16):
@@ -87,10 +87,7 @@ def fused_align(
     ht, wt = target.shape[1:3]
     flow_coarse = warp_grid(res.H21[None], ht, wt)
     src = pyramid[len(pyramid) // 2]
-    featt_fine_in = target
-    from ransacflow_tpu.pipeline.fine import fine_features
-
-    featt_fine = fine_features(align_params, featt_fine_in)
+    featt_fine = fine_features(align_params, target)
     out = pred_flow_mask(
         align_params, src, featt_fine, flow_coarse,
         cycle_match=cycle_match, kernel_size=kernel_size,
