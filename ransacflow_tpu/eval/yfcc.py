@@ -29,12 +29,15 @@ SCENES = (
 )
 
 
-def pick_rotation(coarse, img_t, bg_masks=None):
-    """Try the target at 0/90/180/270 deg; keep the most-inlier rotation.
+def pick_rotation(coarse, img_t, bg_mask_fn=None):
+    """Try the target at 0/90/180/270 deg; keep the most-inlier rotation
+    (reference: evaluation/evalYFCC/evaluation.py:190-209 — the foreground
+    mask participates in each rotation's coarse fit).
 
     Args:
       coarse: CoarseAligner with set_source() done.
-      bg_masks: optional list of 4 foreground masks (pre-rotated).
+      bg_mask_fn: optional callable(angle, (Ht, Wt)) -> foreground mask for
+        the rotated, resized target.
     Returns (angle, rotated PIL image, chosen index).
     """
     rotated = [img_t if a == 0 else img_t.rotate(a, expand=True) for a in ANGLES]
@@ -42,8 +45,9 @@ def pick_rotation(coarse, img_t, bg_masks=None):
     for j, img in enumerate(rotated):
         coarse.set_target(img)
         mask = None
-        if bg_masks is not None:
-            mask = 1.0 - bg_masks[j]
+        if bg_mask_fn is not None:
+            bg = bg_mask_fn(ANGLES[j], coarse.tgt_array.shape[:2])
+            mask = 1.0 - bg
         H, inlier = coarse.get_coarse(mask)
         n_inliers.append(0.0 if H is None else float(inlier.sum()))
     best = int(np.argmax(n_inliers))
@@ -80,13 +84,16 @@ def predict_yfcc(
         i_s = Image.open(os.path.join(image_dir, img_list[id_a])).convert("RGB")
         i_t = Image.open(os.path.join(image_dir, img_list[id_b])).convert("RGB")
         coarse.set_source(i_s)
-        angle, rotated, _ = pick_rotation(coarse, i_t)
+        tgt_path = os.path.join(image_dir, img_list[id_b])
+        rot_mask_fn = None
+        if bg_mask_fn is not None:
+            rot_mask_fn = lambda a, hw: bg_mask_fn(tgt_path, hw, a)
+        angle, rotated, _ = pick_rotation(coarse, i_t, rot_mask_fn)
         coarse.set_target(rotated)
         bg = None
         if bg_mask_fn is not None:
             ht, wt = coarse.tgt_array.shape[:2]
-            bg = bg_mask_fn(os.path.join(image_dir, img_list[id_b]),
-                            (ht, wt), angle)
+            bg = bg_mask_fn(tgt_path, (ht, wt), angle)
         pred = multi_homography_predict(
             coarse, align_params, max_coarse=max_coarse,
             mask_region_th=mask_region_th, cycle_match=True, bg_mask=bg,
@@ -168,7 +175,7 @@ def _resized_size(min_size, size, stride=16):
     return new_w // stride * stride, new_h // stride * stride
 
 
-def load_scene_calibration(scene_path):
+def load_scene_calibration(scene_path, min_size=480):
     """Read per-image R/t/K/size from the YFCC calibration h5 files."""
     import h5py
 
@@ -186,7 +193,7 @@ def load_scene_calibration(scene_path):
                 "K": np.array(h5["K"]),
                 "org_size": np.array(h5["imsize"][0]).tolist(),
                 "resized": _resized_size(
-                    480, Image.open(os.path.join(scene_path, im)).size
+                    min_size, Image.open(os.path.join(scene_path, im)).size
                 ),
             }
         )
@@ -201,6 +208,7 @@ def evaluate_yfcc(
     th=0.95,
     use_ransac=True,
     threshold=0.0005,
+    min_size=480,
 ):
     """Per-pair max(R, t) angular errors + Acc@{5,10,15,20}.
 
@@ -208,7 +216,7 @@ def evaluate_yfcc(
     """
     with open(pairs_pkl, "rb") as f:
         pairs = pickle.load(f)
-    calib = load_scene_calibration(scene_path)
+    calib = load_scene_calibration(scene_path, min_size)
 
     errors = []
     for i, (id_a, id_b) in enumerate(pairs):

@@ -288,7 +288,9 @@ def test_pick_rotation_finds_prerotated_target(rng, resnet_params):
     coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=1500,
                            min_size=H_IMG)
     coarse.set_source(src)
-    angle, rotated, _ = pick_rotation(coarse, tgt_rot)
+    angle, rotated, _ = pick_rotation(
+        coarse, tgt_rot, bg_mask_fn=lambda a, hw: _fg_border_mask(*hw)
+    )
     assert angle == 270
 
 
@@ -350,3 +352,63 @@ def test_aachen_export(tmp_path, rng, resnet_params, align_params):
     write_match_file(str(tmp_path / "matches.txt"), "q_d", corr)
     lines = open(tmp_path / "matches.txt").read().splitlines()
     assert lines[0].startswith("# q_d") and len(lines) == n + 1
+
+
+def test_yfcc_harness_end_to_end(tmp_path, rng, resnet_params, align_params):
+    """Full YFCC glue: predict (rotation pre-test + artifacts) ->
+    evaluate (calibration h5, matches, essential matrix) on a synthetic
+    3D scene rendered into two views."""
+    import pickle
+    import h5py
+    import jax
+    from ransacflow_tpu.pipeline import CoarseAligner
+    from ransacflow_tpu.eval import predict_yfcc, evaluate_yfcc
+    from ransacflow_tpu.eval.artifacts import load_pair as _load
+
+    scene = tmp_path / "scene" / "test"
+    os.makedirs(scene)
+    # two views of a textured plane: pure in-plane translation => the pair
+    # is exactly homography-related AND has consistent (R=I, t) geometry
+    src, tgt = _translation_pair(rng)
+    src.save(scene / "im0.jpg")
+    tgt.save(scene / "im1.jpg")
+    with open(scene / "images.txt", "w") as f:
+        f.write("im0.jpg\nim1.jpg\n")
+    with open(scene / "calibration.txt", "w") as f:
+        f.write("calib0.h5\ncalib1.h5\n")
+    # camera: f=200, principal point at center (K offsets are relative, see
+    # norm_kp); plane at z=5, camera 2 shifted opposite the image motion
+    f_len = 200.0
+    K = np.array([[f_len, 0, 0], [0, f_len, 0], [0, 0, 1.0]])
+    t1 = np.zeros((3, 1))
+    # target sees source content shifted by (-DX, -DY) px at depth 5
+    t2 = np.array([[DX_PX * 5 / f_len], [DY_PX * 5 / f_len], [0.0]])
+    for name, t in (("calib0.h5", t1), ("calib1.h5", t2)):
+        with h5py.File(scene / name, "w") as h5:
+            h5["R"] = np.eye(3)
+            h5["T"] = t.T
+            h5["K"] = K
+            h5["imsize"] = np.array([[W_IMG, H_IMG]])
+
+    pairs_pkl = tmp_path / "pairs.pkl"
+    with open(pairs_pkl, "wb") as f:
+        pickle.dump([[0, 1]], f)
+
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=3000,
+                           min_size=H_IMG, seed=5)
+    out_dir = str(tmp_path / "pred")
+    predict_yfcc(
+        str(pairs_pkl), str(scene), out_dir, coarse, align_params,
+        max_coarse=0, end_index=1,
+        bg_mask_fn=lambda path, hw, angle: _fg_border_mask(*hw),
+    )
+    art = _load(out_dir, 0)
+    assert art is not None
+    assert int(art["rotation"]) == 0  # unrotated target must win
+
+    errors, accs = evaluate_yfcc(
+        out_dir, str(pairs_pkl), str(scene), th=0.0, min_size=H_IMG,
+        use_ransac=True, threshold=0.001,
+    )
+    assert len(errors) == 1 and np.isfinite(errors[0])
+    assert set(accs) == {"acc5", "acc10", "acc15", "acc20", "mAP"}
