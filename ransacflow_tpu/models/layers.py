@@ -31,8 +31,10 @@ def conv2d(x, weight, bias=None, stride=1, padding=1, groups=1, dilation=1):
         padding = [(padding, padding), (padding, padding)]
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
+    # the weight dtype defines the compute dtype (mixed-precision
+    # convention): bf16 weights pull fp32 activations down to bf16
     out = lax.conv_general_dilated(
-        x,
+        x.astype(weight.dtype),
         weight,
         window_strides=stride,
         padding=padding,
@@ -102,9 +104,15 @@ def max_pool(x, window, stride, padding=0):
 
 
 def l2_normalize(x, axis=-1, eps=1e-12):
-    """torch F.normalize(p=2): x / max(||x||_2, eps)."""
-    norm = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
-    return x / jnp.maximum(norm, eps)
+    """torch F.normalize(p=2): x / max(||x||_2, eps).
+
+    The squared-sum always accumulates in fp32 (matters when features are
+    bf16 — 256-term sums lose ~2 digits otherwise)."""
+    sq = jnp.sum(
+        x.astype(jnp.float32) * x.astype(jnp.float32), axis=axis, keepdims=True
+    )
+    norm = jnp.sqrt(sq).astype(x.dtype)
+    return x / jnp.maximum(norm, jnp.asarray(eps, x.dtype))
 
 
 # ---------------------------------------------------------------------------

@@ -53,3 +53,35 @@ def test_fused_batch_modes_agree(rng, nets):
                                np.asarray(b["num_inliers"]))
     np.testing.assert_allclose(np.asarray(a["flow"]), np.asarray(b["flow"]),
                                atol=1e-4)
+
+
+def test_fused_bf16_mode_consistent_with_fp32(rng, nets):
+    """bf16 compute (weights define dtype) recovers the same homography on
+    a clearly-matchable pair: geometry stays fp32, convs/matmuls run bf16."""
+    from ransacflow_tpu.models import cast_params
+    from ransacflow_tpu.ops import warp_grid, grid_sample
+
+    resnet, align = nets
+    h = w = 128
+    base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
+    src = np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
+    H_true = np.array([[1, 0, 0.25], [0, 1, 0.25], [0, 0, 1]], np.float32)
+    g = warp_grid(jnp.asarray(H_true)[None], h, w)
+    tgt = np.asarray(grid_sample(jnp.asarray(src)[None], g))[0]
+
+    def run(dtype):
+        pyr = (jnp.asarray(src, dtype)[None],)
+        t = jnp.asarray(tgt, dtype)[None]
+        r = cast_params(resnet, dtype)
+        a = cast_params(align, dtype)
+        return fused_align(r, a, pyr, t, jax.random.PRNGKey(0), n_iter=2000)
+
+    out32 = run(jnp.float32)
+    out16 = run(jnp.bfloat16)
+    h32 = np.asarray(out32["H21"], np.float64)
+    h16 = np.asarray(out16["H21"], np.float64)
+    h32 /= h32[2, 2]
+    h16 /= h16[2, 2]
+    # identical geometry up to bf16 feature/matching jitter
+    np.testing.assert_allclose(h16, h32, atol=0.05)
+    assert int(out16["num_inliers"]) > 0
