@@ -14,7 +14,6 @@ import argparse
 
 import jax
 
-from ransacflow_tpu.cli.common import load_align_params
 from ransacflow_tpu.train.loop import fit, resume_params, STAGES
 from ransacflow_tpu.pipeline import init_alignment_params
 

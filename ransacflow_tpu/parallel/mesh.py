@@ -7,8 +7,6 @@ training/eval-batch sharding plus hypothesis sharding for RANSAC — all XLA
 collectives over ICI, no custom backend.
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

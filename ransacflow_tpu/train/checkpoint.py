@@ -9,7 +9,6 @@ released .pth files into the same structure.
 
 import os
 
-import jax
 import orbax.checkpoint as ocp
 
 

@@ -16,7 +16,6 @@ import jax
 from ransacflow_tpu.train.trainer import (
     make_train_step,
     make_data_parallel_step,
-    split_trainable,
     local_index_roll,
 )
 from ransacflow_tpu.train.losses import margin_mask

@@ -17,8 +17,6 @@ module outside `trainModule` runs in eval BN mode AND under stop_gradient
 (its torch forward wraps no_grad when not training, model/model.py:117-124).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from ransacflow_tpu.train.losses import compute_losses, TRAIN_MODULES
