@@ -22,6 +22,26 @@ from ransacflow_tpu.ops.homography import warp_grid
 from ransacflow_tpu.pipeline.fine import pred_flow_mask, fine_features
 
 
+def device_pyramid(image, shapes):
+    """Build the coarse scale pyramid ON DEVICE with Lanczos-3 resampling.
+
+    The reference resizes each scale on the host with PIL LANCZOS
+    (quick_start/coarseAlignFeatMatch.py:97); `jax.image.resize('lanczos3')`
+    is the same kernel family, so matching quality is preserved while the
+    host ships ONE image instead of seven.
+
+    Args:
+      image: (1, H, W, 3) the full-resolution source.
+      shapes: static list of (Hi, Wi) pyramid shapes (see
+        `ransacflow_tpu.utils.image.scale_list` + stride flooring).
+    Returns tuple of (1, Hi, Wi, 3) images.
+    """
+    return tuple(
+        jax.image.resize(image, (1, h, w, 3), method="lanczos3")
+        for (h, w) in shapes
+    )
+
+
 def _bank_coords(pyramid_shapes, stride=16):
     """Static (nA, 2) (x, y) cell coords for a pyramid of image shapes."""
     xs, ys = [], []

@@ -85,3 +85,23 @@ def test_fused_bf16_mode_consistent_with_fp32(rng, nets):
     # identical geometry up to bf16 feature/matching jitter
     np.testing.assert_allclose(h16, h32, atol=0.05)
     assert int(out16["num_inliers"]) > 0
+
+
+def test_device_pyramid_close_to_pil(rng):
+    """jax lanczos3 resize tracks PIL LANCZOS closely enough for feature
+    matching (same kernel family, different edge handling details)."""
+    from PIL import Image
+    from ransacflow_tpu.pipeline.fused import device_pyramid
+
+    arr = rng.rand(96, 128, 3).astype(np.float32)
+    shapes = [(48, 64), (96, 128), (192, 256)]
+    pyr = device_pyramid(jnp.asarray(arr)[None], shapes)
+    for (h, w), out in zip(shapes, pyr):
+        assert out.shape == (1, h, w, 3)
+        pil = np.stack([
+            np.asarray(Image.fromarray(arr[:, :, c], mode="F").resize(
+                (w, h), resample=Image.LANCZOS))
+            for c in range(3)
+        ], axis=-1)
+        diff = np.abs(np.asarray(out[0]) - pil)
+        assert np.percentile(diff, 99) < 0.03, (h, w, diff.max())
