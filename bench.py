@@ -29,7 +29,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 MIN_SIZE = 480
 ASPECT = (480, 640)
-N_PAIRS = 16
+N_PAIRS = 32  # amortizes the dev-tunnel dispatch+readback latency
 N_ITER = 10000
 BASELINE_PAIRS_PER_SEC_PER_CHIP = 50.0 / 8.0
 
