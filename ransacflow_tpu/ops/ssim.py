@@ -24,23 +24,34 @@ def gaussian_window(window_size=11, sigma=1.5):
     return g / g.sum()
 
 
-def _depthwise_conv(x, kernel2d, pad):
-    """Depthwise 2-D conv with zero padding, channels-last.
+def _depthwise_sep_conv(x, taps_y, taps_x, pad):
+    """Separable depthwise 2-D conv (zero padding), channels-last.
 
-    x: (B, H, W, C); kernel2d: (kh, kw) shared across channels.
+    Both SSIM windows are rank-1 (Gaussian outer product, uniform box), so
+    two 1-D passes compute the exact same result as the 2-D conv at ~k/2x
+    fewer FLOPs — the SSIM convs are a top cost of the training step.
+
+    x: (B, H, W, C); taps_y/taps_x: (k,) 1-D filters.
     """
     C = x.shape[-1]
-    k = jnp.asarray(
-        np.tile(np.asarray(kernel2d)[:, :, None, None], (1, 1, 1, C)), x.dtype
-    )
-    return lax.conv_general_dilated(
-        x,
-        k,
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=C,
-    )
+
+    def pass_1d(inp, taps, axis):
+        kh, kw = (len(taps), 1) if axis == 1 else (1, len(taps))
+        k = jnp.asarray(
+            np.tile(np.asarray(taps).reshape(kh, kw, 1, 1), (1, 1, 1, C)),
+            inp.dtype,
+        )
+        pads = [(pad, pad), (0, 0)] if axis == 1 else [(0, 0), (pad, pad)]
+        return lax.conv_general_dilated(
+            inp,
+            k,
+            window_strides=(1, 1),
+            padding=pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C,
+        )
+
+    return pass_1d(pass_1d(x, taps_y, axis=1), taps_x, axis=2)
 
 
 def masked_ssim_loss(img1, img2, match, window_size=11, sigma=1.5,
@@ -56,19 +67,21 @@ def masked_ssim_loss(img1, img2, match, window_size=11, sigma=1.5,
     """
     pad = window_size // 2
     g1 = gaussian_window(window_size, sigma)
-    gwin = np.outer(g1, g1)
-    box = np.full((window_size, window_size), 1.0 / window_size**2, np.float32)
+    box1 = np.full((window_size,), 1.0 / window_size, np.float32)
 
-    mask = _depthwise_conv(match, box, pad) + 1e-7
+    def gconv(x):
+        return _depthwise_sep_conv(x, g1, g1, pad)
+
+    mask = _depthwise_sep_conv(match, box1, box1, pad) + 1e-7
     mask = (mask > 0.5).astype(img1.dtype) + 1e-7  # (B, H, W, 1)
 
-    mu1 = _depthwise_conv(img1, gwin, pad)
-    mu2 = _depthwise_conv(img2, gwin, pad)
+    mu1 = gconv(img1)
+    mu2 = gconv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
 
-    sigma1_sq = _depthwise_conv(img1 * img1, gwin, pad) - mu1_sq
-    sigma2_sq = _depthwise_conv(img2 * img2, gwin, pad) - mu2_sq
-    sigma12 = _depthwise_conv(img1 * img2, gwin, pad) - mu1_mu2
+    sigma1_sq = gconv(img1 * img1) - mu1_sq
+    sigma2_sq = gconv(img2 * img2) - mu2_sq
+    sigma12 = gconv(img1 * img2) - mu1_mu2
 
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (

@@ -79,7 +79,9 @@ def fit(
         roll = local_index_roll(b_local)
     else:
         mesh = None
-        step_jit = jax.jit(step_fn)
+        # params/opt_state are consumed each step — donating them lets XLA
+        # update weights in place instead of allocating fresh buffers
+        step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
         roll = local_index_roll(batch_size)
 
     grid = normalized_grid(img_size, img_size)[None]

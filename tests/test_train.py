@@ -95,10 +95,11 @@ def test_train_loss_decreases(rng, params):
     step_j = jax.jit(step)
     p = params
     losses = []
-    for _ in range(8):
+    for _ in range(12):
         p, opt_state, metrics = step_j(p, opt_state, imgs, roll, grid, mask)
         losses.append(float(metrics["loss"]))
-    assert losses[-1] < losses[0]
+    # single-step endpoints are noisy at this tiny scale; compare plateaus
+    assert np.mean(losses[6:]) < np.mean(losses[:2])
 
 
 def test_data_parallel_step_matches_single_device(rng, params):
