@@ -140,3 +140,22 @@ def test_multi_homography_loop(rng, resnet_params, align_params):
     assert out["fine_flow_down8"].shape == (n, h8, w8, 2)
     assert out["fine_match_down8"].shape == (n, h8, w8, 2)
     assert _h_error(out["coarse_h"][0], H_true) < 0.02
+
+
+def test_coarse_aligner_deterministic_with_seed(rng, resnet_params):
+    """Same seed -> identical H sequence (the reference seeds its KITTI run
+    for reproducibility, evalKITTI/evaluation.py:182-183)."""
+    src, tgt, _ = _translated_pair(rng)
+
+    def run():
+        c = CoarseAligner(resnet_params, nb_scale=1, n_iter=1000,
+                          min_size=H_IMG, seed=1000)
+        c.set_pair(src, tgt)
+        h1, _ = c.get_coarse(_border_mask())
+        h2, _ = c.get_coarse(_border_mask())
+        return h1, h2
+
+    a1, a2 = run()
+    b1, b2 = run()
+    np.testing.assert_array_equal(a1, b1)
+    np.testing.assert_array_equal(a2, b2)
