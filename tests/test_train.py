@@ -184,3 +184,19 @@ def test_checkpoint_roundtrip(tmp_path, params):
         np.asarray(restored["params"]["netFlowCoarse"]["conv1"]["weight"]),
         np.asarray(params["netFlowCoarse"]["conv1"]["weight"]),
     )
+
+
+def test_pair_folder_host_sharding(rng, tmp_path):
+    """shard_index/num_shards split (the DistributedSampler equivalent,
+    SURVEY §2.9): shards partition the groups without overlap."""
+    from PIL import Image
+
+    for idx in range(5):
+        for v in (1, 2):
+            Image.fromarray(
+                (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            ).save(tmp_path / f"{idx}_{v}.jpg")
+    a = PairFolder(str(tmp_path), img_size=8, shard_index=0, num_shards=2)
+    b = PairFolder(str(tmp_path), img_size=8, shard_index=1, num_shards=2)
+    assert sorted(a.indices + b.indices) == list(range(5))
+    assert not set(a.indices) & set(b.indices)
