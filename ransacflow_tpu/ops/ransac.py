@@ -35,6 +35,9 @@ from ransacflow_tpu.ops.homography import (
 )
 
 DET_EPS = 1e-6
+# max hypotheses x matches scored in one shot (~128M elements = 512 MB per
+# fp32 intermediate); larger problems stream hypothesis chunks
+SCORE_ELEMS_LIMIT = 128 * 1024 * 1024
 
 
 class RansacResult(NamedTuple):
@@ -121,17 +124,32 @@ def ransac_homography(
         else:
             model_ok = jnp.abs(dets) > DET_EPS
 
-    # score ALL hypotheses at once, MXU-shaped: three (N, 3) @ (3, n_iter)
-    # matmuls give the projected homogeneous coordinates of every match
-    # under every hypothesis; the squared-error compare and the inlier
-    # count fuse into the matmul consumers. err < tol == err^2 < tol^2.
-    ex = jnp.dot(match2, H21[:, 0, :].T, preferred_element_type=jnp.float32)
-    ey = jnp.dot(match2, H21[:, 1, :].T, preferred_element_type=jnp.float32)
-    ez = jnp.dot(match2, H21[:, 2, :].T, preferred_element_type=jnp.float32)
-    du = ex / ez - match1[:, 0:1]  # (N, n_iter)
-    dv = ey / ez - match1[:, 1:2]
-    is_inlier = (du * du + dv * dv < tolerance * tolerance) & valid[:, None]
-    counts = jnp.sum(is_inlier, axis=0).astype(jnp.int32)
+    # score ALL hypotheses, MXU-shaped: three (N, 3) @ (3, n_hyp) matmuls
+    # give the projected homogeneous coordinates of every match under every
+    # hypothesis; the squared-error compare and the inlier count fuse into
+    # the matmul consumers. err < tol == err^2 < tol^2.
+    def count_chunk(H_chunk):
+        ex = jnp.dot(match2, H_chunk[:, 0, :].T,
+                     preferred_element_type=jnp.float32)
+        ey = jnp.dot(match2, H_chunk[:, 1, :].T,
+                     preferred_element_type=jnp.float32)
+        ez = jnp.dot(match2, H_chunk[:, 2, :].T,
+                     preferred_element_type=jnp.float32)
+        du = ex / ez - match1[:, 0:1]  # (N, chunk)
+        dv = ey / ez - match1[:, 1:2]
+        hit = (du * du + dv * dv < tolerance * tolerance) & valid[:, None]
+        return jnp.sum(hit, axis=0).astype(jnp.int32)
+
+    if n_iter * N <= SCORE_ELEMS_LIMIT:
+        counts = count_chunk(H21)
+    else:
+        # KITTI-scale runs (50k hypotheses x 8k+ matches) would materialize
+        # multi-GB intermediates; stream hypothesis chunks instead
+        chunk = max(1, SCORE_ELEMS_LIMIT // N)
+        n_pad = -(-n_iter // chunk) * chunk
+        H_pad = jnp.pad(H21, ((0, n_pad - n_iter), (0, 0), (0, 0)))
+        H_chunks = H_pad.reshape(n_pad // chunk, chunk, 3, 3)
+        counts = jax.lax.map(count_chunk, H_chunks).reshape(-1)[:n_iter]
     counts = counts * (unique & model_ok).astype(jnp.int32)
 
     best = jnp.argmax(counts)

@@ -181,3 +181,20 @@ def test_ransac_injected_samples_match_reference_semantics(rng):
     best = int(np.argmax(gold_counts))
     np.testing.assert_array_equal(np.asarray(res.best_sample),
                                   samples[np.argmax(gold_counts)])
+
+
+def test_ransac_chunked_scoring_matches_oneshot(rng, monkeypatch):
+    """Forcing the chunked scoring path gives identical winners."""
+    from ransacflow_tpu.ops import ransac as R
+
+    m1, m2, H, n_out = _make_ransac_problem(rng, n=150)
+    valid = jnp.ones(150, bool)
+    args = (jax.random.PRNGKey(0), jnp.asarray(m1), jnp.asarray(m2), valid)
+    one = ransac_homography(*args, tolerance=0.05, n_iter=1000)
+    monkeypatch.setattr(R, "SCORE_ELEMS_LIMIT", 10_000)  # ~67 hyps/chunk
+    R.ransac_homography.clear_cache()
+    chunked = R.ransac_homography(*args, tolerance=0.05, n_iter=1000)
+    R.ransac_homography.clear_cache()
+    assert int(one.num_inliers) == int(chunked.num_inliers)
+    np.testing.assert_allclose(np.asarray(one.H21), np.asarray(chunked.H21),
+                               atol=1e-6)
