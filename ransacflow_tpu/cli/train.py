@@ -39,6 +39,9 @@ def main():
     parser.add_argument("--stage", type=int, choices=[1, 2, 3], default=None,
                         help="curriculum preset (stage1/2/3.sh)")
     parser.add_argument("--nDevices", type=int, default=1)
+    parser.add_argument("--computeDtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="mixed-precision conv compute (fp32 masters)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--maxStepsPerEpoch", type=int, default=None)
 
@@ -95,6 +98,8 @@ def main():
         n_devices=args.nDevices,
         seed=args.seed,
         max_steps_per_epoch=args.maxStepsPerEpoch,
+        compute_dtype=(None if args.computeDtype == "float32"
+                       else args.computeDtype),
     )
 
 

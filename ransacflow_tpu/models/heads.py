@@ -128,7 +128,12 @@ def flow_gradient_magnitude(flow):
     Returns (B, H-1, W-1, 1).
     """
     d = flow[:, 1:, 1:, :] - flow[:, :-1, :-1, :]
-    return jnp.linalg.norm(d, axis=-1, keepdims=True)
+    # safe norm: the plain norm's gradient is NaN at exactly-zero d, which
+    # bf16-quantized flow hits routinely (equal adjacent upsampled values).
+    # The 1e-24 floor changes the forward value by <= 1e-12 and zeroes the
+    # gradient only where d == 0.
+    sq = jnp.sum(d * d, axis=-1, keepdims=True)
+    return jnp.sqrt(jnp.maximum(sq, 1e-24))
 
 
 def flow_to_grid(flow, grid):

@@ -64,8 +64,12 @@ def batch_norm(x, p, train=False, axis_name=None):
         mean, var = p["running_mean"], p["running_var"]
         new_stats = None
     else:
-        mean = jnp.mean(x, axis=(0, 1, 2))
-        mean_sq = jnp.mean(x * x, axis=(0, 1, 2))
+        # moments always accumulate in fp32 (bf16 activations under the
+        # mixed-precision training policy would lose ~2 digits in the
+        # H*W*B-term sums)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        mean_sq = jnp.mean(xf * xf, axis=(0, 1, 2))
         if axis_name is not None:
             mean = lax.pmean(mean, axis_name)
             mean_sq = lax.pmean(mean_sq, axis_name)
@@ -149,6 +153,24 @@ def cast_params(params, dtype):
         return x
 
     return jax.tree.map(cast, params)
+
+
+def cast_compute_params(params, dtype):
+    """Mixed-precision compute cast: cast float leaves to `dtype`, EXCEPT
+    BatchNorm subtrees (identified by a 'running_mean' sibling), which stay
+    in their master precision — BN is elementwise/HBM-bound, and its
+    running-stat updates must not round-trip through bf16.
+
+    With fp32 master params and dtype=bfloat16 this makes every conv run
+    bf16 on the MXU while grads (through the cast) come back fp32.
+    """
+    if isinstance(params, dict):
+        if "running_mean" in params:
+            return params
+        return {k: cast_compute_params(v, dtype) for k, v in params.items()}
+    if hasattr(params, "dtype") and jnp.issubdtype(params.dtype, jnp.floating):
+        return params.astype(dtype)
+    return params
 
 
 def merge_bn_stats(params, stats):

@@ -60,14 +60,20 @@ def fit(
     seed=0,
     log_every=50,
     max_steps_per_epoch=None,
+    compute_dtype=None,
 ):
-    """Train the alignment nets. Returns (params, best_prec)."""
+    """Train the alignment nets. Returns (params, best_prec).
+
+    compute_dtype='bfloat16' enables the mixed-precision policy (fp32
+    master weights, bf16 conv compute — see make_train_step).
+    """
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(out_dir)
 
     loss_kwargs = dict(mode=mode, mu_cycle=mu_cycle,
                        lambda_match=lambda_match, grad_weight=grad_weight,
-                       kernel_size=kernel_size, lr=lr)
+                       kernel_size=kernel_size, lr=lr,
+                       compute_dtype=compute_dtype)
     init_opt, step_fn = make_train_step(**loss_kwargs)
     opt_state = init_opt(params)
 

@@ -27,7 +27,7 @@ from ransacflow_tpu.models.heads import (
     flow_gradient_magnitude,
     flow_to_grid,
 )
-from ransacflow_tpu.models.layers import l2_normalize
+from ransacflow_tpu.models.layers import l2_normalize, cast_compute_params
 from ransacflow_tpu.ops.correlation import correlation_volume
 from ransacflow_tpu.ops.sampler import grid_sample
 from ransacflow_tpu.ops.ssim import masked_ssim_loss
@@ -59,6 +59,7 @@ def compute_losses(
     kernel_size=7,
     train=True,
     axis_name=None,
+    compute_dtype=None,
 ):
     """Returns (total_loss, aux) with aux = dict(loss terms + bn stats).
 
@@ -69,9 +70,17 @@ def compute_losses(
       grid: (1, H, W, 2) normalized grid.
       mask_margin: (2B, H, W, 1) central-crop supervision mask.
       mode: 'flow' | 'flow+match' | 'grad'.
+      compute_dtype: optional mixed-precision compute dtype (e.g.
+        jnp.bfloat16): conv weights are cast so the CNNs run on the MXU in
+        that dtype, while BN, flow/grid coordinates, warping and all loss
+        arithmetic stay fp32 (bf16 grid coords would cost ~1 px of sampling
+        precision at 224px).
     """
     trained = TRAIN_MODULES[mode]
     with_match = mode in ("flow+match", "grad")
+
+    if compute_dtype is not None:
+        params = cast_compute_params(params, compute_dtype)
 
     def maybe_frozen(name, out):
         if train and name not in trained:
@@ -97,7 +106,7 @@ def compute_losses(
     )
     if s:
         stats["netFlowCoarse"] = s
-    flow = maybe_frozen("netFlowCoarse", flow)
+    flow = maybe_frozen("netFlowCoarse", flow).astype(jnp.float32)
 
     flow_grad = flow_gradient_magnitude(flow)  # (2B, H-1, W-1, 1)
     final = flow_to_grid(flow, grid)           # (2B, H, W, 2)
@@ -110,7 +119,7 @@ def compute_losses(
         )
         if s:
             stats["netMatch"] = s
-        match = maybe_frozen("netMatch", match) * mask_margin
+        match = maybe_frozen("netMatch", match).astype(jnp.float32) * mask_margin
         match_cycle = grid_sample(match[index_roll], final) * match
         cycle_weight = match_cycle
         recon_mask = match_cycle

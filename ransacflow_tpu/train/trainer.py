@@ -43,13 +43,21 @@ def make_train_step(
     kernel_size=7,
     lr=2e-4,
     axis_name=None,
+    compute_dtype=None,
 ):
     """Build (init_opt_state, step_fn).
 
     step_fn(params, opt_state, images, index_roll, grid, mask_margin) ->
       (new_params, new_opt_state, metrics dict). Pure; jit/shard_map it at
     the call site (see `make_data_parallel_step`).
+
+    compute_dtype: optional mixed-precision policy ('bfloat16' or a jnp
+    dtype): fp32 master weights + Adam state, conv compute in the given
+    dtype, fp32 loss/BN-stat accumulation (see compute_losses). Gradients
+    flow through the cast and arrive fp32.
     """
+    if isinstance(compute_dtype, str):
+        compute_dtype = jnp.dtype(compute_dtype)
     opt = make_optimizer(lr)
 
     def init_opt_state(params):
@@ -74,6 +82,7 @@ def make_train_step(
                 kernel_size=kernel_size,
                 train=True,
                 axis_name=axis_name,
+                compute_dtype=compute_dtype,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)

@@ -200,3 +200,76 @@ def test_pair_folder_host_sharding(rng, tmp_path):
     b = PairFolder(str(tmp_path), img_size=8, shard_index=1, num_shards=2)
     assert sorted(a.indices + b.indices) == list(range(5))
     assert not set(a.indices) & set(b.indices)
+
+
+def test_train_step_bf16_policy(rng, params):
+    """Mixed-precision policy: fp32 masters stay fp32, loss tracks the fp32
+    trajectory, and training still converges."""
+    imgs, roll, grid, mask = _batch(rng, 2)
+    trajs = {}
+    for dt in (None, "bfloat16"):
+        init_opt, step = make_train_step(
+            mode="flow+match", mu_cycle=1.0, lambda_match=0.01,
+            grad_weight=1.0, lr=1e-3, compute_dtype=dt,
+        )
+        p, o = params, init_opt(params)
+        step_j = jax.jit(step)
+        losses = []
+        for _ in range(10):
+            p, o, m = step_j(p, o, imgs, roll, grid, mask)
+            losses.append(float(m["loss"]))
+        trajs[dt] = losses
+        leaf = p["netFeatCoarse"]["conv1"]["weight"]
+        assert leaf.dtype == jnp.float32
+        assert p["netFeatCoarse"]["bn1"]["running_mean"].dtype == jnp.float32
+        assert all(np.isfinite(losses))
+    # the first loss (same params, fresh batch stats) must agree tightly;
+    # later steps drift chaotically (Adam's sign-like first steps amplify
+    # any rounding), so only convergence is asserted beyond step 0
+    assert abs(trajs[None][0] - trajs["bfloat16"][0]) < 5e-3
+    assert np.mean(trajs["bfloat16"][6:]) < np.mean(trajs["bfloat16"][:2])
+
+
+def test_data_parallel_step_bf16_matches_single_device(rng, params):
+    """DP equivalence holds under the bf16 compute policy too."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    b_local = 1
+    b_global = 8 * b_local
+    imgs = rng.rand(2 * b_global, IMG, IMG, 3).astype(np.float32)
+    i1, i2 = imgs[:b_global], imgs[b_global:]
+    shards = []
+    for d in range(8):
+        shards.append(i1[d * b_local : (d + 1) * b_local])
+        shards.append(i2[d * b_local : (d + 1) * b_local])
+    imgs_dp = np.concatenate(shards)
+
+    roll_local = local_index_roll(b_local)
+    grid = normalized_grid(IMG, IMG)[None]
+    mask_dp = jnp.tile(margin_mask(2 * b_local, IMG, MARGIN), (8, 1, 1, 1))
+
+    kwargs = dict(mode="flow", mu_cycle=1.0, compute_dtype="bfloat16")
+    init_opt, step_single = make_train_step(**kwargs)
+    opt_state = init_opt(params)
+    dp_step = make_data_parallel_step(mesh, **kwargs)
+    new_p_dp, _, m_dp = dp_step(
+        replicate(params, mesh), replicate(opt_state, mesh),
+        shard_batch(jnp.asarray(imgs_dp), mesh), roll_local,
+        replicate(grid, mesh), shard_batch(mask_dp, mesh),
+    )
+    new_p_s, _, m_s = jax.jit(step_single)(
+        params, opt_state, jnp.asarray(imgs), local_index_roll(b_global),
+        grid, margin_mask(2 * b_global, IMG, MARGIN),
+    )
+    # bf16 batch moments differ per-shard slightly more than fp32; keep the
+    # same structural assertions with looser fp tolerances
+    np.testing.assert_allclose(
+        float(m_dp["loss_lr"]), float(m_s["loss_lr"]), rtol=1e-2
+    )
+    a = np.asarray(new_p_dp["netFlowCoarse"]["conv4"]["weight"])
+    b = np.asarray(new_p_s["netFlowCoarse"]["conv4"]["weight"])
+    mismatched = np.abs(a - b) > 1e-5
+    assert mismatched.mean() < 0.05, f"{mismatched.mean():.3%} weights differ"
+    a = np.asarray(new_p_dp["netFeatCoarse"]["bn1"]["running_mean"])
+    b = np.asarray(new_p_s["netFeatCoarse"]["bn1"]["running_mean"])
+    np.testing.assert_allclose(a, b, atol=5e-4)
