@@ -104,22 +104,33 @@ def fused_align(
     )
 
     # -- fine stage ---------------------------------------------------------
+    # Gate on RANSAC failure (reference stops and returns None,
+    # utils/outil.py:145-146): a garbage best-H21 must never leak into the
+    # warp — substitute identity BEFORE warping (a degenerate H could emit
+    # inf/NaN through the homogeneous divide), zero the matchability, and
+    # return identity grids for the flows so callers that ignore `found`
+    # still get well-formed no-op output.
     ht, wt = target.shape[1:3]
-    flow_coarse = warp_grid(res.H21[None], ht, wt)
+    eye = jnp.eye(3, dtype=res.H21.dtype)
+    h_used = jnp.where(res.found, res.H21, eye)
+    flow_coarse = warp_grid(h_used[None], ht, wt)
     src = pyramid[len(pyramid) // 2]
     featt_fine = fine_features(align_params, target)
     out = pred_flow_mask(
         align_params, src, featt_fine, flow_coarse,
         cycle_match=cycle_match, kernel_size=kernel_size,
     )
+    foundf = res.found.astype(out["match"].dtype)
+    id_grid = warp_grid(eye[None], ht, wt)
+    id_grid8 = warp_grid(eye[None], *out["flow_down8"].shape[1:3])
     return {
-        "H21": res.H21,
+        "H21": h_used,
         "found": res.found,
         "num_inliers": res.num_inliers,
-        "flow": out["flow"],
-        "match": out["match"],
-        "flow_down8": out["flow_down8"],
-        "match_down8": out["match_down8"],
+        "flow": jnp.where(res.found, out["flow"], id_grid),
+        "match": out["match"] * foundf,
+        "flow_down8": jnp.where(res.found, out["flow_down8"], id_grid8),
+        "match_down8": out["match_down8"] * foundf,
     }
 
 

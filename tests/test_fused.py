@@ -105,3 +105,33 @@ def test_device_pyramid_close_to_pil(rng):
         ], axis=-1)
         diff = np.abs(np.asarray(out[0]) - pil)
         assert np.percentile(diff, 99) < 0.03, (h, w, diff.max())
+
+
+def test_fused_align_gates_on_ransac_failure(rng, nets):
+    """When RANSAC finds no model the serving path must not emit unflagged
+    garbage (reference stops and returns None, utils/outil.py:145-146):
+    H21/flows fall back to identity, matchability is zeroed, found=False.
+
+    A target one feature-cell tall makes every match collinear, so all
+    4-point homographies are degenerate and the det gate rejects them.
+    """
+    from ransacflow_tpu.ops.homography import warp_grid
+
+    resnet_params, align_params = nets
+    pyr = tuple(
+        jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32))
+        for (h, w) in [(32, 128), (16, 96), (16, 64)]
+    )
+    tgt = jnp.asarray(rng.rand(1, 16, 96, 3).astype(np.float32))
+    out = fused_align(resnet_params, align_params, pyr, tgt,
+                      jax.random.PRNGKey(2), n_iter=256)
+    assert not bool(out["found"])
+    assert int(out["num_inliers"]) == 0
+    np.testing.assert_array_equal(np.asarray(out["H21"]), np.eye(3))
+    assert float(jnp.max(jnp.abs(out["match"]))) == 0.0
+    assert float(jnp.max(jnp.abs(out["match_down8"]))) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(out["flow"]), np.asarray(warp_grid(jnp.eye(3)[None], 16, 96)),
+        atol=1e-6,
+    )
+    assert np.all(np.isfinite(np.asarray(out["flow_down8"])))
