@@ -35,6 +35,9 @@ def main():
     p.add_argument("--minSize", type=int, default=480)
     p.add_argument("--scaleR", type=float, default=2.0)
     p.add_argument("--beginIndex", type=int, default=0)
+    p.add_argument("--nDevices", type=int, default=None,
+                   help="shard pairs over N local devices (device-resident "
+                        "multi-homography loop); default: host loop")
     p.add_argument("--endIndex", type=int, default=None)
 
     r = sub.add_parser("results")
@@ -64,6 +67,7 @@ def main():
             begin_index=args.beginIndex, end_index=args.endIndex,
             bg_mask_fn=None if not args.segNet else
             (lambda row, hw, fn=build_sky_fn(args): fn(row, hw)),
+            n_devices=args.nDevices,
         )
     else:
         from ransacflow_tpu.eval import evaluate_corr, PIXEL_GRID

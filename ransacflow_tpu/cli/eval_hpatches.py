@@ -37,6 +37,9 @@ def main():
     p.add_argument("--minSize", type=int, default=480)
     p.add_argument("--scaleR", type=float, default=2.0)
     p.add_argument("--beginIndex", type=int, default=0)
+    p.add_argument("--nDevices", type=int, default=None,
+                   help="shard pairs over N local devices (device-resident "
+                        "multi-homography loop); default: host loop")
     p.add_argument("--endIndex", type=int, default=None)
 
     r = sub.add_parser("results")
@@ -64,6 +67,7 @@ def main():
             mask_region_th=args.maskRegionTh,
             bg_mask_fn=build_sky_fn(args),
             begin_index=args.beginIndex, end_index=args.endIndex,
+            n_devices=args.nDevices,
         )
     else:
         from ransacflow_tpu.eval import evaluate_hpatches

@@ -62,13 +62,41 @@ def predict_corr(
     begin_index=0,
     end_index=None,
     bg_mask_fn=None,
+    n_devices=None,
 ):
     df = pd.read_csv(csv_path, dtype=str)
-    coarse = CoarseAligner(
-        resnet_params, nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
+    coarse_kwargs = dict(
+        nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
         min_size=min_size, scale_r=scale_r, resize_mode="min",
     )
     end = len(df) if end_index is None else min(end_index, len(df))
+
+    if n_devices is not None:
+        # shard pairs over the local device pool (eval/pooled.py); the
+        # device-resident loop replaces the host loop (no fp64 polish)
+        from ransacflow_tpu.eval.pooled import pooled_multihomo_predict
+        from ransacflow_tpu.utils.image import resized_shape_min_size
+
+        def gen():
+            for idx in range(begin_index, end):
+                row = df.iloc[idx]
+                i_s, i_t = _open_pair(test_dir, row)
+                bg = None
+                if bg_mask_fn is not None:
+                    bg = bg_mask_fn(
+                        row, resized_shape_min_size(i_t, min_size)
+                    )
+                yield idx, i_s, i_t, bg
+
+        pooled_multihomo_predict(
+            gen(), resnet_params, align_params, n_devices, coarse_kwargs,
+            save_fn=lambda idx, art: save_pair(out_dir, idx, art),
+            max_coarse=max_coarse, mask_region_th=mask_region_th,
+            cycle_match=True,
+        )
+        return
+
+    coarse = CoarseAligner(resnet_params, **coarse_kwargs)
     for idx in range(begin_index, end):
         row = df.iloc[idx]
         i_s, i_t = _open_pair(test_dir, row)

@@ -39,21 +39,58 @@ def predict_hpatches(
     bg_mask_fn=None,
     begin_index=0,
     end_index=None,
+    n_devices=None,
 ):
     """Run prediction for HPatches scenes 1-2..1-6.
 
     Args:
       bg_mask_fn: optional callable(img_path, (Ht, Wt)) -> foreground mask
         (the segNet sky-removal hook).
+      n_devices: shard pairs over a local device pool (eval/pooled.py) using
+        the device-resident multi-homography loop; None keeps the
+        reference-parity host loop (with fp64 hypothesis polish). The mask
+        resize for bg_mask_fn needs the resized target shape, so the pooled
+        path computes it from the PIL size with the same min-side rule.
     """
-    coarse = CoarseAligner(
-        resnet_params, nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
+    coarse_kwargs = dict(
+        nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
         min_size=min_size, scale_r=scale_r, resize_mode="min",
     )
+    if n_devices is None:
+        coarse = CoarseAligner(resnet_params, **coarse_kwargs)
     for scene in scenes:
         df = pd.read_csv(os.path.join(csv_dir, f"hpatches_1_{scene}.csv"))
         scene_out = os.path.join(out_dir, str(scene))
         end = len(df) if end_index is None else min(end_index, len(df))
+
+        if n_devices is not None:
+            from ransacflow_tpu.eval.pooled import pooled_multihomo_predict
+            from ransacflow_tpu.utils.image import resized_shape_min_size
+
+            def gen():
+                for idx in range(begin_index, end):
+                    row = df.iloc[idx]
+                    obj = str(row.obj)
+                    tgt_path = os.path.join(image_dir, obj, f"{row.im2}.ppm")
+                    i_s = Image.open(
+                        os.path.join(image_dir, obj, f"{row.im1}.ppm")
+                    ).convert("RGB")
+                    i_t = Image.open(tgt_path).convert("RGB")
+                    bg = None
+                    if bg_mask_fn is not None:
+                        bg = bg_mask_fn(
+                            tgt_path, resized_shape_min_size(i_t, min_size)
+                        )
+                    yield idx, i_s, i_t, bg
+
+            pooled_multihomo_predict(
+                gen(), resnet_params, align_params, n_devices, coarse_kwargs,
+                save_fn=lambda idx, art: save_pair(scene_out, idx, art),
+                max_coarse=max_coarse, mask_region_th=mask_region_th,
+                cycle_match=False,
+            )
+            continue
+
         for idx in range(begin_index, end):
             row = df.iloc[idx]
             obj = str(row.obj)

@@ -81,6 +81,9 @@ class CoarseAligner:
         (eval-harness behavior).
       polish_fp64: re-solve the winning minimal set on host in fp64.
       seed: PRNG seed for hypothesis sampling (a fresh fold per call).
+      device: optional jax.Device to pin this aligner's arrays to — pass
+        per-device-placed resnet_params with it (see eval/pooled.py for
+        the multi-device eval pool this enables).
     """
 
     def __init__(
@@ -96,8 +99,10 @@ class CoarseAligner:
         rematch_per_call=False,
         polish_fp64=True,
         seed=0,
+        device=None,
     ):
         self.params = resnet_params
+        self.device = device
         self.n_iter = int(n_iter)
         self.tolerance = float(tolerance)
         self.transform = transform
@@ -109,6 +114,12 @@ class CoarseAligner:
         self.polish_fp64 = bool(polish_fp64)
         self._key = jax.random.PRNGKey(seed)
         self._resize = resize_min_size if resize_mode == "min" else resize_max_size
+
+    def _put(self, arr):
+        """Host array -> device array, pinned to self.device when set."""
+        if self.device is not None:
+            return jax.device_put(jnp.asarray(arr), self.device)
+        return jnp.asarray(arr)
 
     # -- pair setup ---------------------------------------------------------
 
@@ -123,7 +134,7 @@ class CoarseAligner:
         self.src_array = to_array(self.src_img)
         for im in imgs:
             arr = to_array(im)
-            f = _coarse_feats(self.params, jnp.asarray(arr)[None])
+            f = _coarse_feats(self.params, self._put(arr)[None])
             fh, fw = arr.shape[0] // STRIDE_NET, arr.shape[1] // STRIDE_NET
             y, x = feature_cell_coords(fh, fw)
             feats.append(f)
@@ -138,7 +149,7 @@ class CoarseAligner:
         """Extract target features and (unless rematch mode) cache matches."""
         self.tgt_img = self._resize(img, self.min_size)
         self.tgt_array = to_array(self.tgt_img)
-        self._featt = _coarse_feats(self.params, jnp.asarray(self.tgt_array)[None])
+        self._featt = _coarse_feats(self.params, self._put(self.tgt_array)[None])
         self.feat_h = self.tgt_array.shape[0] // STRIDE_NET
         self.feat_w = self.tgt_array.shape[1] // STRIDE_NET
         y, x = feature_cell_coords(self.feat_h, self.feat_w)

@@ -7,10 +7,17 @@ while the newly-matched area exceeds a threshold, and accumulate stacks of
 (H, fine flow @ stride 8, matchability @ stride 8) for later compositing.
 """
 
+from functools import partial
+
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ransacflow_tpu.ops.homography import warp_grid
+from ransacflow_tpu.ops.matching import mutual_matching
+from ransacflow_tpu.ops.ransac import ransac_homography
+from ransacflow_tpu.ops.sampler import interpolate_bilinear
 from ransacflow_tpu.pipeline.fine import pred_flow_mask, fine_features
 
 
@@ -82,3 +89,174 @@ def multi_homography_predict(
         "fine_match_down8": np.stack(matches),
         "bg_mask": bg_mask.astype(bool),
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "feat_h", "feat_w", "max_coarse", "cycle_match", "kernel_size",
+        "n_iter", "n_points", "transform", "rematch",
+    ),
+)
+def _fused_multi_homo(
+    params, bank, featt_c, coords_a, coords_b, cached_src, cached_valid,
+    src, featt_fine, bg_mask, key, tolerance, mask_region_th,
+    *, feat_h, feat_w, max_coarse, cycle_match, kernel_size, n_iter,
+    n_points, transform, rematch,
+):
+    """The whole multi-homography loop as ONE device program.
+
+    The host loop above round-trips the (Ht, Wt) mask + match map and the
+    found/valid scalars every iteration — up to ~20 blocking syncs per pair
+    on the dev tunnel. Here the loop state (mask, accepted stacks, count)
+    lives in a fixed-shape `lax.while_loop` carry; the host pulls one
+    result at the end. No fp64 re-polish of the winning minimal sets (use
+    the host loop for exact reference numerics).
+    """
+    ht, wt = bg_mask.shape
+    n_b = coords_b.shape[0]
+    ones = jnp.ones((n_b, 1), jnp.float32)
+    m2 = jnp.concatenate([coords_b, ones], axis=1)
+    h8, w8 = featt_fine.shape[1:3]
+    n_slots = max_coarse + 1
+
+    def cond(st):
+        return (~st["done"]) & (st["count"] < n_slots)
+
+    def body(st):
+        mask = st["mask"]
+        fg = ((mask + (1.0 - bg_mask)) > 0.5).astype(jnp.float32)
+        keep = 1.0 - fg
+        cell = interpolate_bilinear(keep[None, :, :, None], feat_h, feat_w)
+        mask_cell = (cell[0, :, :, 0] > 0.5).reshape(-1)
+        if rematch:
+            mres = mutual_matching(bank.T, featt_c.T, validB=mask_cell)
+            src_idx, valid = mres.src_idx, mres.valid
+        else:
+            src_idx, valid = cached_src, cached_valid & mask_cell
+        m1 = jnp.concatenate([coords_a[src_idx], ones], axis=1)
+        key, sub = jax.random.split(st["key"])
+        res = ransac_homography(
+            sub, m1, m2, valid, tolerance, n_iter=n_iter,
+            n_points=n_points, transform=transform,
+        )
+        h_used = jnp.where(res.found, res.H21,
+                           jnp.eye(3, dtype=res.H21.dtype))
+        flow_coarse = warp_grid(h_used[None], ht, wt)
+        out = pred_flow_mask(
+            params, src, featt_fine, flow_coarse,
+            cycle_match=cycle_match, kernel_size=kernel_size,
+        )
+        newly = out["match"] * (1.0 - fg)  # (ht, wt)
+        accept = res.found & (
+            (jnp.mean(newly) > mask_region_th) | (st["count"] == 0)
+        )
+        c = st["count"]
+        hs = st["hs"].at[c].set(jnp.where(accept, h_used, st["hs"][c]))
+        flows = st["flows"].at[c].set(
+            jnp.where(accept, out["flow_down8"][0], st["flows"][c])
+        )
+        matches = st["matches"].at[c].set(
+            jnp.where(accept, out["match_down8"][0], st["matches"][c])
+        )
+        new_mask = jnp.where(
+            accept, ((mask + newly) >= 1.0).astype(jnp.float32), mask
+        )
+        return {
+            "mask": new_mask,
+            "key": key,
+            "hs": hs,
+            "flows": flows,
+            "matches": matches,
+            "count": c + accept.astype(jnp.int32),
+            "done": ~accept,
+        }
+
+    init = {
+        "mask": jnp.zeros((ht, wt), jnp.float32),
+        "key": key,
+        "hs": jnp.zeros((n_slots, 3, 3), jnp.float32),
+        "flows": jnp.zeros((n_slots, h8, w8, 2), jnp.float32),
+        "matches": jnp.zeros((n_slots, h8, w8, 2), jnp.float32),
+        "count": jnp.int32(0),
+        "done": jnp.asarray(False),
+    }
+    return lax.while_loop(cond, body, init)
+
+
+def multi_homography_dispatch(
+    coarse,
+    params,
+    max_coarse=10,
+    mask_region_th=0.01,
+    cycle_match=True,
+    bg_mask=None,
+    kernel_size=7,
+    key=None,
+):
+    """Dispatch the device-resident loop WITHOUT syncing; returns
+    (final_device_dict, bg) for `multi_homography_finalize`. Splitting
+    dispatch from finalize lets a caller pipeline many pairs (or many
+    devices — see eval/pooled.py) before blocking on any result.
+
+    key: explicit PRNG key for the loop's RANSAC draws; None advances the
+    aligner's stream (order-dependent). Pair-indexed keys
+    (jax.random.fold_in) make artifacts independent of dispatch order.
+    """
+    ht, wt = coarse.tgt_array.shape[:2]
+    bg = (np.ones((ht, wt), np.float32) if bg_mask is None
+          else np.asarray(bg_mask, np.float32))
+    src = jnp.asarray(coarse.src_array)[None]
+    featt_fine = fine_features(params, jnp.asarray(coarse.tgt_array)[None])
+    if key is None:
+        coarse._key, key = jax.random.split(coarse._key)
+    final = _fused_multi_homo(
+        params, coarse._bank, coarse._featt, coarse._coordsA,
+        coarse._coordsB, coarse._cached_src, coarse._cached_valid,
+        src, featt_fine, jnp.asarray(bg), key,
+        coarse.tolerance, mask_region_th,
+        feat_h=coarse.feat_h, feat_w=coarse.feat_w, max_coarse=max_coarse,
+        cycle_match=cycle_match, kernel_size=kernel_size,
+        n_iter=coarse.n_iter, n_points=coarse.n_points,
+        transform=coarse.transform, rematch=coarse.rematch,
+    )
+    return final, bg
+
+
+def multi_homography_finalize(final, bg):
+    """Block on a dispatched loop and convert to the host artifact dict
+    (None when no homography was accepted)."""
+    n = int(final["count"])
+    if n == 0:
+        return None
+    return {
+        "coarse_h": np.asarray(final["hs"][:n], np.float32),
+        "fine_flow_down8": np.asarray(final["flows"][:n]),
+        "fine_match_down8": np.asarray(final["matches"][:n]),
+        "bg_mask": bg.astype(bool),
+    }
+
+
+def multi_homography_predict_fused(
+    coarse,
+    params,
+    max_coarse=10,
+    mask_region_th=0.01,
+    cycle_match=True,
+    bg_mask=None,
+    kernel_size=7,
+    key=None,
+):
+    """Throughput variant of `multi_homography_predict`: same contract and
+    acceptance logic, but the whole loop runs on device (one host sync per
+    pair instead of ~4 per homography). Differences from the host loop:
+    no fp64 re-polish of the winning hypotheses (device fp32 DLT is used
+    directly), and the PRNG fold sequence differs, so individual RANSAC
+    draws — though not the fitted geometry — can differ.
+    """
+    final, bg = multi_homography_dispatch(
+        coarse, params, max_coarse=max_coarse,
+        mask_region_th=mask_region_th, cycle_match=cycle_match,
+        bg_mask=bg_mask, kernel_size=kernel_size, key=key,
+    )
+    return multi_homography_finalize(final, bg)

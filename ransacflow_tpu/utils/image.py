@@ -23,6 +23,14 @@ def resize_min_size(img, min_size, stride=STRIDE_NET):
     return img.resize((new_w, new_h), resample=Image.LANCZOS)
 
 
+def resized_shape_min_size(img, min_size, stride=STRIDE_NET):
+    """(Ht, Wt) that `resize_min_size` would produce, without resizing."""
+    w, h = img.size
+    ratio = min(w / float(min_size), h / float(min_size))
+    new_w, new_h = int(round(w / ratio)), int(round(h / ratio))
+    return new_h // stride * stride, new_w // stride * stride
+
+
 def resize_max_size(img, min_size, stride=STRIDE_NET):
     """Resize so the *larger* dimension ~= min_size, floor to stride.
 

@@ -52,3 +52,43 @@ def test_sharded_align_pairs_runs_on_mesh(rng):
     assert out["H21"].shape == (K, 3, 3)
     assert out["flow"].shape == (K, 1, h, w, 2)
     assert np.isfinite(np.asarray(out["H21"])).all()
+
+
+def test_pooled_eval_identical_across_pool_sizes(rng):
+    """eval/pooled.py: sharding pairs over a device pool must produce
+    bit-identical artifacts to the 1-device run (per-pair fold_in keys make
+    results dispatch-order independent) — VERDICT #7's done criterion."""
+    from PIL import Image
+    from ransacflow_tpu.models import init_resnet50_layer3
+    from ransacflow_tpu.pipeline import init_alignment_params
+    from ransacflow_tpu.eval.pooled import pooled_multihomo_predict
+
+    resnet_params = init_resnet50_layer3(jax.random.PRNGKey(0))
+    align_params = init_alignment_params(jax.random.PRNGKey(1))
+
+    h = w = 128
+
+    def blocky():
+        base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
+        img = np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
+        return Image.fromarray((img * 255).astype(np.uint8))
+
+    pil_pairs = [(blocky(), blocky()) for _ in range(4)]
+
+    def run(n_devices):
+        arts = {}
+        pooled_multihomo_predict(
+            ((i, s, t, None) for i, (s, t) in enumerate(pil_pairs)),
+            resnet_params, align_params, n_devices,
+            dict(nb_scale=1, n_iter=512, min_size=h),
+            save_fn=lambda idx, art: arts.__setitem__(idx, art),
+            max_coarse=2,
+        )
+        return arts
+
+    seq = run(1)
+    pooled = run(4)
+    assert set(seq.keys()) == set(pooled.keys())
+    for idx in seq:
+        for k in ("coarse_h", "fine_flow_down8", "fine_match_down8"):
+            np.testing.assert_array_equal(seq[idx][k], pooled[idx][k])

@@ -159,3 +159,31 @@ def test_coarse_aligner_deterministic_with_seed(rng, resnet_params):
     b1, b2 = run()
     np.testing.assert_array_equal(a1, b1)
     np.testing.assert_array_equal(a2, b2)
+
+
+def test_multi_homography_fused_matches_host_loop(rng, resnet_params,
+                                                  align_params):
+    """The device-resident loop finds the same geometry as the host loop
+    (PRNG folds differ, so compare fitted H's, not bits)."""
+    from ransacflow_tpu.pipeline import multi_homography_predict_fused
+
+    src, tgt, H_true = _translated_pair(rng)
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=2000,
+                           min_size=H_IMG, polish_fp64=False)
+    coarse.set_pair(src, tgt)
+    host = multi_homography_predict(
+        coarse, align_params, max_coarse=2, mask_region_th=0.01,
+        bg_mask=1.0 - _border_mask(),
+    )
+    fused = multi_homography_predict_fused(
+        coarse, align_params, max_coarse=2, mask_region_th=0.01,
+        bg_mask=1.0 - _border_mask(),
+    )
+    assert host is not None and fused is not None
+    assert _h_error(fused["coarse_h"][0], H_true) < 0.02
+    assert _h_error(fused["coarse_h"][0], host["coarse_h"][0]) < 0.01
+    assert fused["fine_flow_down8"].shape[1:] == host["fine_flow_down8"].shape[1:]
+    assert fused["fine_match_down8"].shape[1:] == host["fine_match_down8"].shape[1:]
+    # first-H fine outputs are driven by nearly-identical H21's
+    d = np.abs(fused["fine_flow_down8"][0] - host["fine_flow_down8"][0])
+    assert np.median(d) < 0.02
