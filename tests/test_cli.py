@@ -37,6 +37,68 @@ slow_cli = pytest.mark.skipif(
 )
 
 
+def _make_rolled_pair(tmp_path, rng, size):
+    a = tmp_path / "a.png"
+    b = tmp_path / "b.png"
+    img = (np.kron((rng.rand(size // 4, size // 4, 3) > 0.5),
+                   np.ones((4, 4, 1))) * 255).astype(np.uint8)[:size, :size]
+    Image.fromarray(img).save(a)
+    Image.fromarray(np.roll(img, size // 10, 1)).save(b)
+    return a, b
+
+
+def test_align_cli_tiny(tmp_path, rng):
+    """CI-default tiny-config smoke of the align CLI end-to-end
+    (full config variant below is RUN_SLOW_CLI)."""
+    a, b = _make_rolled_pair(tmp_path, rng, 64)
+    out = tmp_path / "out"
+    r = _run([
+        "ransacflow_tpu.cli.align", "--img1", str(a), "--img2", str(b),
+        "--outdir", str(out) + "/", "--nbScale", "1", "--coarseIter", "256",
+        "--minSize", "64",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "fine_aligned_source.png").exists()
+    H = np.load(out / "H21.npy")
+    assert H.shape == (3, 3) and np.isfinite(H).all()
+
+
+def test_generate_pairs_cli_tiny(tmp_path, rng):
+    import pandas as pd
+
+    imgs = tmp_path / "imgs"
+    os.makedirs(imgs)
+    a, b = _make_rolled_pair(imgs, rng, 64)
+    pd.DataFrame([{"imgA": "a.png", "imgB": "b.png"}]).to_csv(
+        tmp_path / "pairs.csv", index=False)
+    out = tmp_path / "out"
+    r = _run([
+        "ransacflow_tpu.cli.generate_pairs", "--pairCSV",
+        str(tmp_path / "pairs.csv"), "--imgDir", str(imgs), "--outDir",
+        str(out), "--minSize", "64", "--nbIter", "256", "--minInliers", "4",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "kept" in r.stdout
+
+
+ALL_CLIS = [
+    "align", "train", "resize_dataset", "generate_pairs",
+    "eval_hpatches", "eval_corr", "eval_kitti", "eval_yfcc",
+]
+
+
+@pytest.mark.parametrize("cli", ALL_CLIS)
+def test_cli_help_parses(cli):
+    """Every CLI main builds its argparse surface and exits 0 on --help
+    (subcommand CLIs also get their 'predict --help' checked)."""
+    r = _run([f"ransacflow_tpu.cli.{cli}", "--help"], timeout=120)
+    assert r.returncode == 0, r.stderr[-1000:]
+    if "predict" in r.stdout:
+        r = _run([f"ransacflow_tpu.cli.{cli}", "predict", "--help"],
+                 timeout=120)
+        assert r.returncode == 0, r.stderr[-1000:]
+
+
 @slow_cli
 def test_align_cli(tmp_path, rng):
     a = tmp_path / "a.png"
