@@ -52,6 +52,34 @@ def _bank_coords(pyramid_shapes, stride=16):
     return jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=1)
 
 
+def _coarse_match(resnet_params, pyramid, target):
+    """Coarse features + mutual matching for one pair.
+
+    Returns (m1, m2, valid): homogeneous match arrays keyed by target cell
+    (fixed shape — padded/invalid rows masked by `valid`).
+    """
+    feats = []
+    for img in pyramid:
+        f, _ = resnet50_layer3(resnet_params, imagenet_preprocess(img))
+        feats.append(l2_normalize(f, axis=-1).reshape(-1, f.shape[-1]))
+    bank = jnp.concatenate(feats, axis=0)  # (nA, 1024)
+    coords_a = _bank_coords([img.shape[1:3] for img in pyramid])
+
+    ft, _ = resnet50_layer3(resnet_params, imagenet_preprocess(target))
+    ft = l2_normalize(ft, axis=-1)
+    fh, fw = ft.shape[1:3]
+    featt = ft.reshape(-1, ft.shape[-1])  # (nB, 1024)
+    y, x = feature_cell_coords(fh, fw)
+    coords_b = jnp.stack([x, y], axis=1)
+
+    m = mutual_matching(bank.T, featt.T)
+    n_b = coords_b.shape[0]
+    ones = jnp.ones((n_b, 1), jnp.float32)
+    m1 = jnp.concatenate([coords_a[m.src_idx], ones], axis=1)
+    m2 = jnp.concatenate([coords_b, ones], axis=1)
+    return m1, m2, m.valid
+
+
 @partial(
     jax.jit,
     static_argnames=("n_iter", "kernel_size", "cycle_match"),
@@ -78,31 +106,17 @@ def fused_align(
     Returns dict: 'H21' (3,3), 'found' (), 'num_inliers' (), 'flow'
     (1,Ht,Wt,2), 'match' (Ht,Wt), 'flow_down8', 'match_down8'.
     """
-    # -- coarse features ----------------------------------------------------
-    feats = []
-    for img in pyramid:
-        f, _ = resnet50_layer3(resnet_params, imagenet_preprocess(img))
-        feats.append(l2_normalize(f, axis=-1).reshape(-1, f.shape[-1]))
-    bank = jnp.concatenate(feats, axis=0)  # (nA, 1024)
-    coords_a = _bank_coords([img.shape[1:3] for img in pyramid])
-
-    ft, _ = resnet50_layer3(resnet_params, imagenet_preprocess(target))
-    ft = l2_normalize(ft, axis=-1)
-    fh, fw = ft.shape[1:3]
-    featt = ft.reshape(-1, ft.shape[-1])  # (nB, 1024)
-    y, x = feature_cell_coords(fh, fw)
-    coords_b = jnp.stack([x, y], axis=1)
-
-    # -- matching + RANSAC --------------------------------------------------
-    m = mutual_matching(bank.T, featt.T)
-    n_b = coords_b.shape[0]
-    ones = jnp.ones((n_b, 1), jnp.float32)
-    m1 = jnp.concatenate([coords_a[m.src_idx], ones], axis=1)
-    m2 = jnp.concatenate([coords_b, ones], axis=1)
+    m1, m2, valid = _coarse_match(resnet_params, pyramid, target)
     res = ransac_homography(
-        key, m1, m2, m.valid, tolerance, n_iter=n_iter
+        key, m1, m2, valid, tolerance, n_iter=n_iter
+    )
+    return _fine_with_gate(
+        align_params, pyramid, target, res, cycle_match, kernel_size
     )
 
+
+def _fine_with_gate(align_params, pyramid, target, res, cycle_match,
+                    kernel_size):
     # -- fine stage ---------------------------------------------------------
     # Gate on RANSAC failure (reference stops and returns None,
     # utils/outil.py:145-146): a garbage best-H21 must never leak into the
@@ -156,10 +170,12 @@ def fused_align_batch(
       pyramids: tuple of (K, 1, Hi, Wi, 3) stacked scale images.
       targets: (K, 1, Ht, Wt, 3).
       keys: (K, 2) PRNG keys.
-      batch_mode: 'scan' runs pairs sequentially (minimal memory — wins at
-        large n_iter where RANSAC scoring intermediates dominate), 'vmap'
-        batches every stage across pairs (better for small n_iter / small
-        images where conv batching pays).
+      batch_mode: 'scan' runs pairs sequentially (minimal memory), 'vmap'
+        batches every stage including RANSAC scoring (loses at large n_iter:
+        the (pairs x matches x hypotheses) intermediates become multi-GB),
+        'hybrid' batches the conv/matching/fine stages across pairs on the
+        MXU while streaming RANSAC scoring one pair at a time — the best of
+        both at the default 10k iters.
     Returns dict of stacked outputs (leading axis K).
     """
 
@@ -171,6 +187,25 @@ def fused_align_batch(
 
     if batch_mode == "vmap":
         return jax.vmap(one)(tuple(pyramids), targets, keys)
+
+    if batch_mode == "hybrid":
+        m1, m2, valid = jax.vmap(
+            lambda pyr, tgt: _coarse_match(resnet_params, tuple(pyr), tgt)
+        )(tuple(pyramids), targets)
+
+        def r_body(_, inp):
+            k, a, b, v = inp
+            return None, ransac_homography(
+                k, a, b, v, tolerance, n_iter=n_iter
+            )
+
+        _, res = jax.lax.scan(r_body, None, (keys, m1, m2, valid))
+
+        return jax.vmap(
+            lambda pyr, tgt, r: _fine_with_gate(
+                align_params, tuple(pyr), tgt, r, cycle_match, kernel_size
+            )
+        )(tuple(pyramids), targets, res)
 
     def body(_, inp):
         pyr, tgt, k = inp

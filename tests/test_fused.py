@@ -45,14 +45,16 @@ def test_fused_batch_modes_agree(rng, nets):
     pyramids, targets, keys = _batch(rng, 3)
     a = fused_align_batch(resnet, align, pyramids, targets, keys,
                           n_iter=256, batch_mode="scan")
-    b = fused_align_batch(resnet, align, pyramids, targets, keys,
-                          n_iter=256, batch_mode="vmap")
-    np.testing.assert_allclose(np.asarray(a["H21"]), np.asarray(b["H21"]),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(a["num_inliers"]),
-                               np.asarray(b["num_inliers"]))
-    np.testing.assert_allclose(np.asarray(a["flow"]), np.asarray(b["flow"]),
-                               atol=1e-4)
+    for mode in ("vmap", "hybrid"):
+        b = fused_align_batch(resnet, align, pyramids, targets, keys,
+                              n_iter=256, batch_mode=mode)
+        np.testing.assert_allclose(np.asarray(a["H21"]), np.asarray(b["H21"]),
+                                   atol=1e-5, err_msg=mode)
+        np.testing.assert_allclose(np.asarray(a["num_inliers"]),
+                                   np.asarray(b["num_inliers"]), err_msg=mode)
+        np.testing.assert_allclose(np.asarray(a["flow"]),
+                                   np.asarray(b["flow"]), atol=1e-4,
+                                   err_msg=mode)
 
 
 def test_fused_bf16_mode_consistent_with_fp32(rng, nets):
