@@ -50,6 +50,82 @@ def pyramid_shapes(min_size=MIN_SIZE, aspect=ASPECT, nb_scale=7, scale_r=2.0,
     return shapes
 
 
+def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
+    """Reference-shaped eval path: full multi-homography loop at the
+    HPatches config (minSize 480, 7 scales, 50k RANSAC iters, maxCoarse 10,
+    maskRegionTh 0.01, match12-only fine stage —
+    reference evaluation/evalHpatch/evaluation.py:70-78).
+
+    Uses the device-resident loop (`_fused_multi_homo`): the host dispatches
+    each pair's program and reads back one result, so pairs pipeline through
+    the dev tunnel. Returns (pairs_per_sec, avg_homographies).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ransacflow_tpu.pipeline.fused import (
+        device_pyramid, _bank_coords,
+    )
+    from ransacflow_tpu.pipeline.coarse import _coarse_feats
+    from ransacflow_tpu.pipeline.fine import fine_features
+    from ransacflow_tpu.pipeline.multihomo import _fused_multi_homo
+    from ransacflow_tpu.ops.matching import mutual_matching
+    from ransacflow_tpu.ops.grid import feature_cell_coords
+
+    shapes = pyramid_shapes()
+    rng = np.random.RandomState(1)
+    src_h, src_w = shapes[0]
+    ht, wt = ASPECT[0] // 16 * 16, ASPECT[1] // 16 * 16
+
+    # synthetic blocky pairs (trackable by untrained features)
+    def blocky(h, w):
+        base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
+        return np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
+
+    sources = jnp.asarray(
+        np.stack([blocky(src_h, src_w) for _ in range(n_pairs)])[:, None]
+    )
+    targets = jnp.asarray(
+        np.stack([blocky(ht, wt) for _ in range(n_pairs)])[:, None]
+    )
+    bg = jnp.ones((ht, wt), jnp.float32)
+    fy, fx = ht // 16, wt // 16
+    y, x = feature_cell_coords(fy, fx)
+    coords_b = jnp.stack([x, y], axis=1)
+
+    def one_pair(source, target, key):
+        pyr = device_pyramid(source, shapes)
+        feats = [_coarse_feats(resnet_params, im) for im in pyr]
+        bank = jnp.concatenate(feats, axis=0)
+        coords_a = _bank_coords(shapes)
+        featt = _coarse_feats(resnet_params, target)
+        m = mutual_matching(bank.T, featt.T)
+        featt_fine = fine_features(align_params, target)
+        return _fused_multi_homo(
+            align_params, bank, featt, coords_a, coords_b,
+            m.src_idx, m.valid, pyr[len(shapes) // 2], featt_fine, bg, key,
+            0.05, 0.01,
+            feat_h=fy, feat_w=fx, max_coarse=max_coarse, cycle_match=False,
+            kernel_size=7, n_iter=50000, n_points=4,
+            transform="homography", rematch=False,
+        )
+
+    keys = jax.random.split(jax.random.PRNGKey(7), n_pairs)
+
+    def run():
+        finals = [
+            one_pair(sources[i], targets[i], keys[i])
+            for i in range(n_pairs)
+        ]
+        # single sync closes the timed region
+        return [int(f["count"]) for f in finals]
+
+    counts = run()  # compile + warm
+    t0 = time.perf_counter()
+    counts = run()
+    elapsed = time.perf_counter() - t0
+    return n_pairs / elapsed, float(np.mean(counts))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -104,6 +180,17 @@ def main():
     elapsed = time.perf_counter() - t0
 
     pairs_per_sec = N_PAIRS / elapsed
+
+    # Worst case: untrained matchability never saturates, so every synthetic
+    # pair exhausts all maxCoarse+1 homography slots (real HPatches pairs
+    # accept 1-3). Also measure a representative 3-homography config.
+    if os.environ.get("RANSACFLOW_BENCH_SKIP_MULTIHOMO"):
+        mh_pps = mh_avg_h = mh3_pps = mh3_avg_h = float("nan")
+    else:
+        mh_pps, mh_avg_h = bench_multihomo(resnet_params, align_params)
+        mh3_pps, mh3_avg_h = bench_multihomo(resnet_params, align_params,
+                                             max_coarse=2)
+
     print(
         json.dumps(
             {
@@ -113,6 +200,15 @@ def main():
                 "vs_baseline": round(
                     pairs_per_sec / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3
                 ),
+                "extra_metrics": {
+                    "multihomo_hpatches50k_maxcoarse_exhausted_pairs_s":
+                        round(mh_pps, 3),
+                    "multihomo_exhausted_avg_homographies": round(mh_avg_h, 2),
+                    "multihomo_hpatches50k_3homo_pairs_s": round(mh3_pps, 3),
+                    "multihomo_3homo_vs_baseline_per_chip": round(
+                        mh3_pps / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3
+                    ),
+                },
             }
         )
     )

@@ -141,3 +141,30 @@ def test_blur_pool_1d_matches_torch(rng):
                         groups=5).permute(0, 2, 1).numpy()
         ours = np.asarray(blur_pool_1d(jnp.asarray(x), filt_size, stride=2))
         np.testing.assert_allclose(ours, gold, atol=1e-5)
+
+
+def test_monitor_image_dumps(tmp_path, rng):
+    """Visual monitoring hooks (reference utils/monitor.py tensor2image +
+    Visdom image push -> headless PNG dumps)."""
+    from PIL import Image
+    from ransacflow_tpu.utils.monitor import (
+        MetricsLogger, tensor2image, flow2image,
+    )
+
+    # 1-channel map -> jet colormap RGB
+    m = rng.rand(1, 16, 16, 1).astype(np.float32)
+    img = tensor2image(m)
+    assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+    # RGB passthrough scaling
+    img3 = tensor2image(rng.rand(1, 8, 8, 3).astype(np.float32))
+    assert img3.shape == (8, 8, 3)
+    # flow wheel
+    fl = flow2image(rng.randn(12, 10, 2).astype(np.float32) * 0.1)
+    assert fl.shape == (12, 10, 3)
+
+    logger = MetricsLogger(str(tmp_path), echo=False)
+    p1 = logger.log_image(3, "match", m)
+    p2 = logger.log_image(3, "flow", rng.randn(12, 10, 2).astype(np.float32),
+                          kind="flow")
+    for p in (p1, p2):
+        assert Image.open(p).size[0] > 0
