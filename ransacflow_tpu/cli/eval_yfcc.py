@@ -41,6 +41,9 @@ def main():
     p.add_argument("--scaleR", type=float, default=2.0)
     p.add_argument("--beginIndex", type=int, default=0)
     p.add_argument("--endIndex", type=int, default=1000)
+    p.add_argument("--nDevices", type=int, default=None,
+                   help="shard pairs over a local device pool (keys become "
+                        "pair-indexed; artifacts identical for any pool size)")
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -57,27 +60,40 @@ def main():
 
     if args.cmd == "predict":
         from ransacflow_tpu.eval import predict_yfcc
+        from ransacflow_tpu.eval.yfcc import pooled_yfcc_predict
         from ransacflow_tpu.pipeline import CoarseAligner
 
-        coarse = CoarseAligner(
-            load_coarse_net(args.mocoPth, args.imageNetPth),
+        coarse_kwargs = dict(
             nb_scale=args.nbScale, n_iter=args.coarseIter,
             tolerance=args.coarsetolerance, min_size=args.minSize,
             scale_r=args.scaleR, resize_mode="min",
         )
+        resnet = load_coarse_net(args.mocoPth, args.imageNetPth)
         align = load_align_params(args.resumePth, args.kernelSize)
         scenes = [args.testScene] if args.testScene else list(SCENES)
         for scene in scenes:
-            predict_yfcc(
-                os.path.join(args.testPair, f"{scene}-te-1000-pairs.pkl"),
-                os.path.join(args.testImg, scene, "test"),
-                os.path.join(args.outDir, scene),
-                coarse, align,
+            common = dict(
                 max_coarse=args.maxCoarse,
                 mask_region_th=args.maskRegionTh,
                 begin_index=args.beginIndex, end_index=args.endIndex,
                 bg_mask_fn=build_sky_fn(args, rotated=True),
             )
+            pair_pkl = os.path.join(
+                args.testPair, f"{scene}-te-1000-pairs.pkl"
+            )
+            img_dir = os.path.join(args.testImg, scene, "test")
+            out_dir = os.path.join(args.outDir, scene)
+            if args.nDevices is not None:
+                pooled_yfcc_predict(
+                    pair_pkl, img_dir, out_dir, resnet, align,
+                    args.nDevices, coarse_kwargs, **common,
+                )
+            else:
+                predict_yfcc(
+                    pair_pkl, img_dir, out_dir,
+                    CoarseAligner(resnet, **coarse_kwargs), align,
+                    **common,
+                )
     else:
         from ransacflow_tpu.eval import evaluate_yfcc
 

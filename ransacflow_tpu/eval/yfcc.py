@@ -102,6 +102,110 @@ def predict_yfcc(
             save_pair(out_dir, i, pred, rotation=np.int32(angle))
 
 
+def pooled_yfcc_predict(
+    pairs_pkl,
+    image_dir,
+    out_dir,
+    resnet_params,
+    align_params,
+    n_devices,
+    coarse_kwargs,
+    max_coarse=10,
+    mask_region_th=0.01,
+    begin_index=0,
+    end_index=1000,
+    bg_mask_fn=None,
+    seed=0,
+):
+    """`predict_yfcc` over a local device pool (eval/pooled.py layout).
+
+    One CoarseAligner per device; pairs round-robin over the pool. The
+    rotation pre-test dispatches all four rotations' RANSAC scores before
+    reading any back (CoarseAligner.dispatch_inlier_count), and the
+    multi-homography loop is the device-resident program, drained through a
+    bounded pending queue — so every chip computes while the host does PIL
+    decode/rotate for upcoming pairs.
+
+    Artifacts are identical for any pool size: all PRNG keys derive from
+    fold_in(PRNGKey(seed), pair_index), independent of dispatch order.
+    (They differ from sequential `predict_yfcc`, whose keys advance one
+    aligner's stream — same fitted geometry, different RANSAC draws.)
+    """
+    import jax
+    import jax.numpy as jnp
+    from collections import deque
+    from ransacflow_tpu.pipeline.coarse import CoarseAligner
+    from ransacflow_tpu.pipeline.multihomo import (
+        multi_homography_dispatch,
+        multi_homography_finalize,
+    )
+
+    with open(pairs_pkl, "rb") as f:
+        pairs = pickle.load(f)
+    with open(os.path.join(image_dir, "images.txt")) as f:
+        img_list = [l.strip() for l in f if l.strip()]
+
+    devices = jax.devices()[:n_devices]
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}"
+    )
+    pool = []
+    for d in devices:
+        rp = jax.device_put(resnet_params, d)
+        ap = jax.device_put(align_params, d)
+        pool.append((CoarseAligner(rp, device=d, **coarse_kwargs), ap))
+
+    base_key = jax.random.PRNGKey(seed)
+    pending = deque()
+
+    def drain_one():
+        idx, final, bg, angle = pending.popleft()
+        art = multi_homography_finalize(final, bg)
+        if art is not None:
+            save_pair(out_dir, idx, art, rotation=np.int32(angle))
+
+    for k, i in enumerate(range(begin_index, min(end_index, len(pairs)))):
+        id_a, id_b = pairs[i]
+        aligner, ap = pool[k % n_devices]
+        i_s = Image.open(os.path.join(image_dir, img_list[id_a])).convert("RGB")
+        i_t = Image.open(os.path.join(image_dir, img_list[id_b])).convert("RGB")
+        tgt_path = os.path.join(image_dir, img_list[id_b])
+        keys = jax.random.split(jax.random.fold_in(base_key, i), 5)
+
+        aligner.set_source(i_s)
+        rotated = [
+            i_t if a == 0 else i_t.rotate(a, expand=True) for a in ANGLES
+        ]
+        scores = []
+        for j, img in enumerate(rotated):
+            aligner.set_target(img)
+            mask = None
+            if bg_mask_fn is not None:
+                bg = bg_mask_fn(tgt_path, aligner.tgt_array.shape[:2],
+                                ANGLES[j])
+                mask = 1.0 - bg
+            scores.append(aligner.dispatch_inlier_count(mask, keys[j]))
+        counts = np.asarray(jnp.stack(scores))
+        best = int(np.argmax(counts))
+        angle = ANGLES[best]
+
+        aligner.set_target(rotated[best])
+        bg = None
+        if bg_mask_fn is not None:
+            ht, wt = aligner.tgt_array.shape[:2]
+            bg = bg_mask_fn(tgt_path, (ht, wt), angle)
+        final, bgf = multi_homography_dispatch(
+            aligner, ap, max_coarse=max_coarse,
+            mask_region_th=mask_region_th, cycle_match=True, bg_mask=bg,
+            key=keys[4],
+        )
+        pending.append((i, final, bgf, angle))
+        while len(pending) > 2 * n_devices:
+            drain_one()
+    while pending:
+        drain_one()
+
+
 def matches_from_flow(flow, match_binary, size_a, size_b, angle):
     """Dense flow -> pixel correspondence lists (getResults.py:53-71).
 

@@ -11,7 +11,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ransacflow_tpu.ops.ransac import ransac_homography
 
@@ -65,7 +65,7 @@ def sharded_align_pairs(mesh, resnet_params, align_params, pyramids, targets,
         mesh=mesh,
         in_specs=(P("data"), P("data"), P("data")),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )
     pyr_r = tuple(jax.device_put(p, NamedSharding(mesh, P("data")))
                   for p in pyramids)
@@ -106,6 +106,6 @@ def sharded_ransac(mesh, key, match1, match2, valid, tolerance, n_iter=10000,
         mesh=mesh,
         in_specs=(P("data"), P(), P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     return f(keys, match1, match2, valid)

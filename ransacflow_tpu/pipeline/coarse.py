@@ -226,6 +226,55 @@ class CoarseAligner:
         inlier = np.asarray(res.inlier_mask).reshape(self.feat_h, self.feat_w)
         return H.astype(np.float32), inlier.astype(np.float32)
 
+    def dispatch_inlier_count(self, exclusion_mask=None, key=None):
+        """Dispatch a coarse RANSAC and return its inlier count WITHOUT
+        syncing (a () int32 device scalar; 0 when no model is found).
+
+        The YFCC rotation pre-test (reference:
+        evaluation/evalYFCC/evaluation.py:190-209) only needs the four
+        rotations' inlier counts, not the transforms — `get_coarse` would
+        block the host twice per rotation on the dev tunnel. Dispatching all
+        four scores first and reading them back together keeps the device
+        pool busy (see eval/pooled.py `pooled_yfcc_predict`).
+
+        Scoring matches `pick_rotation`'s sequential arithmetic: the count is
+        `inlier_mask.sum()` when a model is found, else 0 (RansacResult.found
+        already folds in the not-enough-matches case).
+        """
+        ht, wt = self.tgt_array.shape[:2]
+        if exclusion_mask is None:
+            exclusion_mask = np.zeros((ht, wt), np.float32)
+        mask_cell = _mask_to_cells(
+            self._put(np.asarray(exclusion_mask, np.float32)),
+            self.feat_h,
+            self.feat_w,
+        )
+        src_idx, valid = _match_masked(
+            self._bank,
+            self._featt,
+            mask_cell,
+            self._cached_src,
+            self._cached_valid,
+            self.rematch,
+        )
+        n_b = src_idx.shape[0]
+        ones = jnp.ones((n_b, 1), jnp.float32)
+        m1 = jnp.concatenate([self._coordsA[src_idx], ones], axis=1)
+        m2 = jnp.concatenate([self._coordsB, ones], axis=1)
+        if key is None:
+            self._key, key = jax.random.split(self._key)
+        res = ransac_homography(
+            key,
+            m1,
+            m2,
+            valid,
+            self.tolerance,
+            n_iter=self.n_iter,
+            n_points=self.n_points,
+            transform=self.transform,
+        )
+        return jnp.where(res.found, res.num_inliers, 0)
+
     @property
     def num_cached_matches(self):
         return int(jnp.sum(self._cached_valid))

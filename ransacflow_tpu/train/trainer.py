@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ransacflow_tpu.train.losses import compute_losses, TRAIN_MODULES
 from ransacflow_tpu.models.layers import merge_bn_stats
@@ -109,10 +109,17 @@ def make_train_step(
 
 
 def make_data_parallel_step(mesh, **kwargs):
-    """Wrap a train step in shard_map over `mesh` axis 'data'.
+    """Wrap a train step in shard_map over `mesh` axis 'data', jitted.
 
     Batch arrays (images, index_roll, mask_margin) are sharded on their
     leading axis; params/opt state replicated; returned metrics replicated.
+
+    The shard_map MUST be wrapped in jax.jit: called eagerly it executes
+    the step op-by-op through the dispatch path (measured 341 s vs 25 s
+    trace+compile+run for the same step on an 8-device CPU mesh). No
+    buffer donation: `replicate()` (device_put to a replicated sharding)
+    can alias the caller's buffers, so donating params/opt_state here
+    would delete the caller's originals.
 
     NOTE on index_roll: with the batch sharded, the pairing permutation must
     stay shard-local — build batches so each device's shard holds B_local
@@ -126,9 +133,9 @@ def make_data_parallel_step(mesh, **kwargs):
         mesh=mesh,
         in_specs=(P(), P(), P("data"), P(), P(), P("data")),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
-    return sharded
+    return jax.jit(sharded)
 
 
 def local_index_roll(batch_size):

@@ -92,3 +92,53 @@ def test_pooled_eval_identical_across_pool_sizes(rng):
     for idx in seq:
         for k in ("coarse_h", "fine_flow_down8", "fine_match_down8"):
             np.testing.assert_array_equal(seq[idx][k], pooled[idx][k])
+
+
+def test_pooled_yfcc_identical_across_pool_sizes(rng, tmp_path):
+    """eval/yfcc.py pooled_yfcc_predict: full YFCC prediction (4-rotation
+    pre-test + multi-homography loop) over a device pool yields artifacts
+    bit-identical to the 1-device pool, including the stored rotation."""
+    import pickle
+    from PIL import Image
+    from ransacflow_tpu.eval.yfcc import pooled_yfcc_predict
+    from ransacflow_tpu.eval.artifacts import load_pair
+    from ransacflow_tpu.models import init_resnet50_layer3
+    from ransacflow_tpu.pipeline import init_alignment_params
+
+    resnet_params = init_resnet50_layer3(jax.random.PRNGKey(0))
+    align_params = init_alignment_params(jax.random.PRNGKey(1))
+
+    h = w = 96
+    img_dir = tmp_path / "scene"
+    img_dir.mkdir()
+    names = []
+    for i in range(4):
+        base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
+        img = np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
+        name = f"im{i}.png"
+        Image.fromarray((img * 255).astype(np.uint8)).save(img_dir / name)
+        names.append(name)
+    (img_dir / "images.txt").write_text("\n".join(names) + "\n")
+    pkl = tmp_path / "pairs.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump([[0, 1], [2, 3]], f)
+
+    def run(n_devices, tag):
+        out = tmp_path / f"pred_{tag}"
+        pooled_yfcc_predict(
+            str(pkl), str(img_dir), str(out),
+            resnet_params, align_params, n_devices,
+            dict(nb_scale=1, n_iter=512, min_size=h),
+            max_coarse=1, end_index=2,
+        )
+        return {i: load_pair(str(out), i) for i in range(2)}
+
+    seq = run(1, "p1")
+    pooled = run(2, "p2")
+    for idx in seq:
+        assert (seq[idx] is None) == (pooled[idx] is None)
+        if seq[idx] is None:
+            continue
+        assert set(seq[idx].keys()) == set(pooled[idx].keys())
+        for k in seq[idx]:
+            np.testing.assert_array_equal(seq[idx][k], pooled[idx][k])
