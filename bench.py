@@ -56,9 +56,11 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
     maskRegionTh 0.01, match12-only fine stage —
     reference evaluation/evalHpatch/evaluation.py:70-78).
 
-    Uses the device-resident loop (`_fused_multi_homo`): the host dispatches
-    each pair's program and reads back one result, so pairs pipeline through
-    the dev tunnel. Returns (pairs_per_sec, avg_homographies).
+    Uses the BATCHED device-resident loop (`_fused_multi_homo_batch`): one
+    vmapped setup program + one loop program + one count readback for the
+    whole batch. (The per-pair dispatch variant costs ~120 ms/pair of
+    host/tunnel overhead on top of ~12 ms/iteration device compute.)
+    Returns (pairs_per_sec, avg_homographies).
     """
     import jax
     import jax.numpy as jnp
@@ -67,7 +69,7 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
     )
     from ransacflow_tpu.pipeline.coarse import _coarse_feats
     from ransacflow_tpu.pipeline.fine import fine_features
-    from ransacflow_tpu.pipeline.multihomo import _fused_multi_homo
+    from ransacflow_tpu.pipeline.multihomo import _fused_multi_homo_batch
     from ransacflow_tpu.ops.matching import mutual_matching
     from ransacflow_tpu.ops.grid import feature_cell_coords
 
@@ -87,37 +89,38 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
     targets = jnp.asarray(
         np.stack([blocky(ht, wt) for _ in range(n_pairs)])[:, None]
     )
-    bg = jnp.ones((ht, wt), jnp.float32)
+    bgs = jnp.ones((n_pairs, ht, wt), jnp.float32)
     fy, fx = ht // 16, wt // 16
     y, x = feature_cell_coords(fy, fx)
     coords_b = jnp.stack([x, y], axis=1)
+    coords_a = _bank_coords(shapes)
 
-    def one_pair(source, target, key):
+    def setup(source, target):
         pyr = device_pyramid(source, shapes)
         feats = [_coarse_feats(resnet_params, im) for im in pyr]
         bank = jnp.concatenate(feats, axis=0)
-        coords_a = _bank_coords(shapes)
         featt = _coarse_feats(resnet_params, target)
         m = mutual_matching(bank.T, featt.T)
         featt_fine = fine_features(align_params, target)
-        return _fused_multi_homo(
-            align_params, bank, featt, coords_a, coords_b,
-            m.src_idx, m.valid, pyr[len(shapes) // 2], featt_fine, bg, key,
-            0.05, 0.01,
+        return (bank, featt, m.src_idx, m.valid, pyr[len(shapes) // 2],
+                featt_fine)
+
+    setup_v = jax.jit(jax.vmap(setup))
+    keys = jax.random.split(jax.random.PRNGKey(7), n_pairs)
+
+    def run():
+        banks, featts, src_idx, valids, mids, ffines = setup_v(
+            sources, targets
+        )
+        final = _fused_multi_homo_batch(
+            align_params, banks, featts, coords_a, coords_b,
+            src_idx, valids, mids, ffines, bgs, keys, 0.05, 0.01,
             feat_h=fy, feat_w=fx, max_coarse=max_coarse, cycle_match=False,
             kernel_size=7, n_iter=50000, n_points=4,
             transform="homography", rematch=False,
         )
-
-    keys = jax.random.split(jax.random.PRNGKey(7), n_pairs)
-
-    def run():
-        finals = [
-            one_pair(sources[i], targets[i], keys[i])
-            for i in range(n_pairs)
-        ]
         # single sync closes the timed region
-        return [int(f["count"]) for f in finals]
+        return np.asarray(final["count"])
 
     counts = run()  # compile + warm
     t0 = time.perf_counter()
@@ -135,6 +138,18 @@ def main():
 
     resnet_params = init_resnet50_layer3(jax.random.PRNGKey(0))
     align_params = init_alignment_params(jax.random.PRNGKey(1))
+
+    # bf16 throughput mode: weights define the compute dtype (conv2d casts
+    # activations down), so this runs every conv + the matching matmul on
+    # the MXU in bf16 while coords/RANSAC/grid math stay fp32.
+    # Geometry consistency vs fp32 is covered by
+    # tests/test_fused.py::test_fused_bf16_mode_consistent_with_fp32.
+    dtype = os.environ.get("RANSACFLOW_BENCH_DTYPE", "float32")
+    if dtype != "float32":
+        from ransacflow_tpu.models import cast_params
+
+        resnet_params = cast_params(resnet_params, jnp.dtype(dtype))
+        align_params = cast_params(align_params, jnp.dtype(dtype))
 
     shapes = pyramid_shapes()
     rng = np.random.RandomState(0)

@@ -184,6 +184,51 @@ def _fused_multi_homo(
     return lax.while_loop(cond, body, init)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "feat_h", "feat_w", "max_coarse", "cycle_match", "kernel_size",
+        "n_iter", "n_points", "transform", "rematch",
+    ),
+)
+def _fused_multi_homo_batch(
+    params, banks, featts_c, coords_a, coords_b, cached_srcs, cached_valids,
+    srcs, featts_fine, bg_masks, keys, tolerance, mask_region_th,
+    *, feat_h, feat_w, max_coarse, cycle_match, kernel_size, n_iter,
+    n_points, transform, rematch,
+):
+    """`_fused_multi_homo` over a stack of same-shape pairs in ONE program.
+
+    Per-pair dispatch + count readback costs ~120 ms/pair of host/tunnel
+    overhead (measured vs the ~12 ms/iteration device compute) — this scans
+    the whole loop over the pair axis inside one jit so a batch needs one
+    dispatch and one readback total. Pairs must share shapes (same pyramid
+    config and target size); bucket real datasets by resized shape.
+    coords_a/coords_b are shared (shape-derived), not stacked.
+    """
+
+    def body(_, inp):
+        bank, featt_c, cs, cv, src, ff, bg, key = inp
+        out = _fused_multi_homo(
+            params, bank, featt_c, coords_a, coords_b, cs, cv,
+            src, ff, bg, key, tolerance, mask_region_th,
+            feat_h=feat_h, feat_w=feat_w, max_coarse=max_coarse,
+            cycle_match=cycle_match, kernel_size=kernel_size,
+            n_iter=n_iter, n_points=n_points, transform=transform,
+            rematch=rematch,
+        )
+        # the full-res mask is loop state, not a result; don't stack it
+        out.pop("mask")
+        return None, out
+
+    _, outs = lax.scan(
+        body, None,
+        (banks, featts_c, cached_srcs, cached_valids, srcs, featts_fine,
+         bg_masks, keys),
+    )
+    return outs
+
+
 def multi_homography_dispatch(
     coarse,
     params,

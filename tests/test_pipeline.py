@@ -187,3 +187,55 @@ def test_multi_homography_fused_matches_host_loop(rng, resnet_params,
     # first-H fine outputs are driven by nearly-identical H21's
     d = np.abs(fused["fine_flow_down8"][0] - host["fine_flow_down8"][0])
     assert np.median(d) < 0.02
+
+
+def test_multi_homography_batch_matches_per_pair(rng, resnet_params,
+                                                 align_params):
+    """`_fused_multi_homo_batch` (one program for a stack of same-shape
+    pairs — the bench/throughput path) is bit-identical to per-pair
+    `_fused_multi_homo` calls with the same keys."""
+    from ransacflow_tpu.pipeline.fine import fine_features
+    from ransacflow_tpu.pipeline.multihomo import (
+        _fused_multi_homo,
+        _fused_multi_homo_batch,
+    )
+
+    pairs = [_translated_pair(rng, 32, 16), _translated_pair(rng, -24, 8)]
+    bg = jnp.asarray(_border_mask())
+
+    banks, featts, srcs_i, valids, mids, ffines = [], [], [], [], [], []
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=512,
+                           min_size=H_IMG, polish_fp64=False)
+    for src, tgt, _ in pairs:
+        coarse.set_pair(src, tgt)
+        banks.append(coarse._bank)
+        featts.append(coarse._featt)
+        srcs_i.append(coarse._cached_src)
+        valids.append(coarse._cached_valid)
+        mids.append(jnp.asarray(coarse.src_array)[None])
+        ffines.append(fine_features(align_params,
+                                    jnp.asarray(coarse.tgt_array)[None]))
+    coords_a, coords_b = coarse._coordsA, coarse._coordsB
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    kw = dict(feat_h=coarse.feat_h, feat_w=coarse.feat_w, max_coarse=2,
+              cycle_match=False, kernel_size=7, n_iter=512, n_points=4,
+              transform="homography", rematch=False)
+
+    batched = _fused_multi_homo_batch(
+        align_params, jnp.stack(banks), jnp.stack(featts), coords_a,
+        coords_b, jnp.stack(srcs_i), jnp.stack(valids), jnp.stack(mids),
+        jnp.stack(ffines), jnp.stack([bg, bg]), keys, 0.05, 0.01, **kw,
+    )
+    for i in range(2):
+        single = _fused_multi_homo(
+            align_params, banks[i], featts[i], coords_a, coords_b,
+            srcs_i[i], valids[i], mids[i], ffines[i], bg, keys[i],
+            0.05, 0.01, **kw,
+        )
+        assert int(batched["count"][i]) == int(single["count"])
+        np.testing.assert_array_equal(
+            np.asarray(batched["hs"][i]), np.asarray(single["hs"]))
+        np.testing.assert_array_equal(
+            np.asarray(batched["flows"][i]), np.asarray(single["flows"]))
+        np.testing.assert_array_equal(
+            np.asarray(batched["matches"][i]), np.asarray(single["matches"]))
