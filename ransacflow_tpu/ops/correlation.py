@@ -3,9 +3,13 @@
 The reference loops 49 times in Python over offset pairs, each iteration a
 separate CUDA launch (model/model.py:145-147). Here the offsets are a single
 unrolled XLA fusion over a zero-padded target tensor; each offset is an
-elementwise multiply + channel reduction that XLA fuses into one pass. A
-Pallas kernel (tiled x / haloed y resident in VMEM) can replace this for
-peak HBM efficiency; the XLA form is already launch-overhead free.
+elementwise multiply + channel reduction that XLA fuses into one pass.
+
+A hand-written Pallas kernel (tiled x / haloed y resident in VMEM) was
+tried and measured SLOWER than this XLA form on a v5e chip at the
+fine-stage shape (1, 60, 80, 256), k=7: 0.127 ms vs 0.114 ms (0.9x).
+XLA's fusion already saturates HBM here, so the kernel was removed
+(round-2 decision; history: ops/pallas_corr.py before c6cf255).
 
 Channel ordering matches the reference exactly: channel c = di*k + dj
 corresponds to target offset (di - k//2) rows, (dj - k//2) cols.
@@ -14,7 +18,7 @@ corresponds to target offset (di - k//2) rows, (dj - k//2) cols.
 import jax.numpy as jnp
 
 
-def correlation_volume(x, y, kernel_size=7, use_pallas=False):
+def correlation_volume(x, y, kernel_size=7):
     """Channel-wise local correlation between feature maps.
 
     Args:
@@ -22,20 +26,10 @@ def correlation_volume(x, y, kernel_size=7, use_pallas=False):
       y: (B, H, W, C) — features sampled at shifted positions (zero padding
         outside), i.e. ``corr[b, i, j, di*k+dj] =
         sum_c x[b,i,j,c] * y[b, i+di-p, j+dj-p, c]`` with p = k//2.
-      use_pallas: route through the VMEM-resident Pallas kernel
-        (ops/pallas_corr.py) when the target fits on-chip.
 
     Returns (B, H, W, k*k).
     """
     assert kernel_size % 2 == 1
-    if use_pallas:
-        from ransacflow_tpu.ops.pallas_corr import (
-            correlation_volume_pallas,
-            fits_vmem,
-        )
-
-        if fits_vmem(*x.shape[1:], kernel_size):
-            return correlation_volume_pallas(x, y, kernel_size)
     p = kernel_size // 2
     B, H, W, C = x.shape
     y_pad = jnp.pad(y, ((0, 0), (p, p), (p, p), (0, 0)))

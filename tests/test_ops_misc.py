@@ -114,19 +114,6 @@ def test_masked_ssim_matches_torch(rng):
     np.testing.assert_allclose(ours, gold, rtol=1e-4)
 
 
-def test_pallas_correlation_matches_xla(rng):
-    """Pallas kernel (interpret mode on CPU) == XLA formulation."""
-    from ransacflow_tpu.ops.pallas_corr import correlation_volume_pallas
-
-    for (h, w, c) in [(13, 17, 32), (8, 8, 16), (20, 11, 64)]:
-        x = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
-        y = jnp.asarray(rng.randn(1, h, w, c).astype(np.float32))
-        gold = correlation_volume(x, y)
-        ours = correlation_volume_pallas(x, y, interpret=True)
-        np.testing.assert_allclose(np.asarray(ours), np.asarray(gold),
-                                   atol=1e-4)
-
-
 def test_blur_pool_1d_matches_torch(rng):
     from ransacflow_tpu.ops import blur_pool_1d
     from math import comb, ceil
