@@ -36,9 +36,20 @@ def _corner_gather(image, grid, align_corners):
 
     Returns (vals, fx, fy): vals (4, B, Ho, Wo, C) in the corner order
     (x0,y0), (x0+1,y0), (x0,y0+1), (x0+1,y0+1); fx/fy the fractional
-    offsets (B, Ho, Wo). All four corners are fetched with ONE stacked
-    gather — on TPU (no gather hardware) a single large gather schedules
-    ~30% faster than four smaller ones, with identical results.
+    offsets (B, Ho, Wo).
+
+    TPU has no gather hardware; XLA's fast path is a slice-1 row-gather
+    whose cost scales with the NUMBER OF INDICES, not bytes per index
+    (measured: 2-row slices are >2x slower per index; vmapped
+    dynamic_slice serializes entirely). So each sample's whole 2x2xC
+    bilinear footprint is fetched with ONE index from a precomputed
+    footprint image I4[h, w] = (I[h-1+dy, w-1+dx] for dy,dx in 2x2, zero
+    border), built with pads/concats at ~4x-image bandwidth cost.
+    Measured at (1, 480, 640, 3): 1.31 ms vs 5.70 ms for a stacked
+    4-index gather (scripts/bench_sampler_variants.py on a v5e chip).
+    The zero border makes every in-range anchor clip reproduce zero
+    padding exactly; the validity mask covers fully-out-of-range anchors
+    whose clipped gather returns garbage.
     """
     B, H, W, C = image.shape
     x = _unnormalize(grid[..., 0], W, align_corners)
@@ -46,21 +57,34 @@ def _corner_gather(image, grid, align_corners):
 
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
 
-    xs = jnp.stack([x0, x0 + 1.0, x0, x0 + 1.0])  # (4, B, Ho, Wo)
-    ys = jnp.stack([y0, y0, y0 + 1.0, y0 + 1.0])
-
-    xi = xs.astype(jnp.int32)
-    yi = ys.astype(jnp.int32)
-    valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-    xc = jnp.clip(xi, 0, W - 1)
-    yc = jnp.clip(yi, 0, H - 1)
-    flat = (yc * W + xc).reshape(4, B, -1)  # (4, B, Ho*Wo)
+    ip = jnp.pad(image, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    i4 = jnp.concatenate(
+        [
+            ip[:, 0:H + 1, 0:W + 1],
+            ip[:, 0:H + 1, 1:W + 2],
+            ip[:, 1:H + 2, 0:W + 1],
+            ip[:, 1:H + 2, 1:W + 2],
+        ],
+        axis=-1,
+    )  # (B, H+1, W+1, 4C): pixel (a_y, a_x) holds the 2x2 patch at
+    #    anchor (a_y - 1, a_x - 1), slot order (dx, dy) = 00, 10, 01, 11
+    ax = jnp.clip(x0i + 1, 0, W)
+    ay = jnp.clip(y0i + 1, 0, H)
+    flat = (ay * (W + 1) + ax).reshape(1, B, -1)
     vals = jnp.take_along_axis(
-        image.reshape(1, B, H * W, C),
+        i4.reshape(1, B, (H + 1) * (W + 1), 4 * C),
         flat[..., None],
         axis=2,
-    ).reshape(4, *grid.shape[:3], C)
+    ).reshape(B, *grid.shape[1:3], 4, C)
+    # -> corner-major (4, B, Ho, Wo, C)
+    vals = jnp.moveaxis(vals, 3, 0)
+
+    xs = jnp.stack([x0i, x0i + 1, x0i, x0i + 1])  # (4, B, Ho, Wo)
+    ys = jnp.stack([y0i, y0i, y0i + 1, y0i + 1])
+    valid = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
     vals = vals * valid[..., None].astype(vals.dtype)
     return vals, x - x0, y - y0
 
