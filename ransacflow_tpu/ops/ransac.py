@@ -100,18 +100,32 @@ def ransac_homography(
     N = match1.shape[0]
     n_valid = jnp.sum(valid.astype(jnp.int32))
 
+    # TPU gathers are index-rate-bound (see ops/sampler.py): fetching X and
+    # Y separately through an `order` indirection costs 3 gathers of
+    # n_iter * n_points indices each. Concatenating the match arrays (and
+    # pre-applying the valid-first permutation to the DATA, once, at N
+    # rows) folds it into ONE gather of 24-byte rows — measured 5.8 ->
+    # 5.0 ms for the full op on the 50k x 1200 HPatches config
+    # (scripts/bench_ransac_bisect.py; sampling+DLT half 3.3 -> 2.7).
+    m12 = jnp.concatenate([match1, match2], axis=1)  # (N, 6)
+
     if injected_samples is not None:
-        samples = injected_samples
-        eq = samples[:, :, None] == samples[:, None, :]
+        raw = injected_samples
+        eq = raw[:, :, None] == raw[:, None, :]
         unique = jnp.sum(eq, axis=(1, 2)) <= n_points
+        XY = m12[raw]  # (n_iter, n_points, 6)
+        sample_of = lambda i: raw[i]  # noqa: E731
     else:
         # stable partition: valid match indices first
         order = jnp.argsort(~valid, stable=True)  # (N,) int
         raw, unique = _sample_minimal_sets(key, n_valid, n_points, n_iter)
-        samples = order[raw]  # (n_iter, n_points) indices into match arrays
+        XY = m12[order][raw]  # order applied at N rows, not n_iter*n_points
+        # match-array indices are only needed for the WINNING set — gather
+        # n_points indices at the end, not n_iter * n_points up front
+        sample_of = lambda i: order[raw[i]]  # noqa: E731
 
-    X = match1[samples]  # (n_iter, n_points, 3)
-    Y = match2[samples]
+    X = XY[..., :3]  # (n_iter, n_points, 3)
+    Y = XY[..., 3:]
 
     if transform == "affine":
         H21 = fit_affine(X, Y)
@@ -158,4 +172,4 @@ def ransac_homography(
     best_inliers = (best_err < tolerance) & valid
     n_inl = counts[best]
     found = (n_inl > 0) & (n_valid >= n_points)
-    return RansacResult(best_H, n_inl, best_inliers, found, samples[best])
+    return RansacResult(best_H, n_inl, best_inliers, found, sample_of(best))
