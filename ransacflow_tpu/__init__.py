@@ -18,3 +18,19 @@ lives in `parallel/` (jax.sharding Mesh + shard_map, XLA collectives over ICI).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # Honor an explicitly-set JAX_PLATFORMS env var even on hosts whose
+    # site initialization pre-sets jax_platforms programmatically (the dev
+    # harness pins "axon,cpu", which silently overrides the env var and
+    # sent every JAX_PLATFORMS=cpu subprocess through the slow device
+    # tunnel — a CLI smoke test spent 325 of 375 s on two constant
+    # readbacks before this guard).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backends already initialized — the caller's choice stands

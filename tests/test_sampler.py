@@ -31,6 +31,24 @@ def test_grid_sample_align_true_matches_torch(rng):
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_grid_sample_far_out_of_range_matches_torch(rng):
+    """Deep OOB samples (|coord| up to 3): the footprint gather's clipped
+    anchors fetch garbage rows that the validity mask must fully zero —
+    torch returns exact zeros there. Also mixes in border-straddling and
+    in-range samples so every anchor-clip branch is hit in one call."""
+    img = _rand_img(rng, 2, 13, 17, 3)
+    grid = (rng.rand(2, 9, 11, 2).astype(np.float32) * 6.0 - 3.0)
+    grid[:, :3] = grid[:, :3] / 3.0  # in-range rows
+    ours = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    ref = F.grid_sample(
+        torch.from_numpy(img).permute(0, 3, 1, 2),
+        torch.from_numpy(grid),
+        align_corners=True,
+        padding_mode="zeros",
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
 def test_grid_sample_align_false_matches_torch(rng):
     img = _rand_img(rng, 1, 8, 8, 2)
     grid = (rng.rand(1, 5, 6, 2).astype(np.float32) * 2.4 - 1.2)
