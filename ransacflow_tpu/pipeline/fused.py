@@ -37,7 +37,8 @@ def device_pyramid(image, shapes):
     Returns tuple of (1, Hi, Wi, 3) images.
     """
     return tuple(
-        jax.image.resize(image, (1, h, w, 3), method="lanczos3")
+        image if (h, w) == tuple(image.shape[1:3])
+        else jax.image.resize(image, (1, h, w, 3), method="lanczos3")
         for (h, w) in shapes
     )
 

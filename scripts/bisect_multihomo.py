@@ -105,6 +105,26 @@ def main():
     timed("ransac50k", lambda k: ransac_homography(
         k, m1, m2, m.valid, 0.05, n_iter=args.n_iter).num_inliers)
 
+    # -- per-pair setup stages (outside the loop, once per pair) ------------
+    def pyramid_stage(k):
+        pyr2 = device_pyramid(source + 0 * k[0], shapes)
+        return [jnp.sum(im) for im in pyr2]
+    timed("setup_pyramid_lanczos", pyramid_stage)
+
+    def bankfeat_stage(k):
+        feats2 = [_coarse_feats(resnet_params, im + 0 * k[0]) for im in pyr]
+        return jnp.concatenate(feats2, axis=0).sum()
+    timed("setup_bank_resnets", bankfeat_stage)
+
+    def match_stage(k):
+        mm = mutual_matching(bank.T + 0 * k[0], featt.T)
+        return mm.valid.astype(jnp.int32)
+    timed("setup_mutual_match", match_stage)
+
+    def finefeat_stage(k):
+        return jnp.sum(fine_features(align_params, target + 0 * k[0]))
+    timed("setup_fine_features", finefeat_stage)
+
     timed("fine_480", lambda k: pred_flow_mask(
         align_params, src_mid, featt_fine, flow_c, cycle_match=False)["match"])
 
