@@ -200,7 +200,9 @@ def main():
     # pair exhausts all maxCoarse+1 homography slots (real HPatches pairs
     # accept 1-3). Also measure a representative 3-homography config.
     if os.environ.get("RANSACFLOW_BENCH_SKIP_MULTIHOMO"):
-        mh_pps = mh_avg_h = mh3_pps = mh3_avg_h = float("nan")
+        # None -> JSON null; float('nan') would print a literal NaN token,
+        # which is not valid RFC-8259 JSON
+        mh_pps = mh_avg_h = mh3_pps = mh3_avg_h = None
     else:
         mh_pps, mh_avg_h = bench_multihomo(resnet_params, align_params)
         mh3_pps, mh3_avg_h = bench_multihomo(resnet_params, align_params,
@@ -217,10 +219,12 @@ def main():
                 ),
                 "extra_metrics": {
                     "multihomo_hpatches50k_maxcoarse_exhausted_pairs_s":
-                        round(mh_pps, 3),
-                    "multihomo_exhausted_avg_homographies": round(mh_avg_h, 2),
-                    "multihomo_hpatches50k_3homo_pairs_s": round(mh3_pps, 3),
-                    "multihomo_3homo_vs_baseline_per_chip": round(
+                        mh_pps and round(mh_pps, 3),
+                    "multihomo_exhausted_avg_homographies":
+                        mh_avg_h and round(mh_avg_h, 2),
+                    "multihomo_hpatches50k_3homo_pairs_s":
+                        mh3_pps and round(mh3_pps, 3),
+                    "multihomo_3homo_vs_baseline_per_chip": mh3_pps and round(
                         mh3_pps / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3
                     ),
                 },

@@ -24,12 +24,12 @@ PIXEL_GRID = np.around(np.logspace(0, np.log10(36), 8))
 def _resize_with_coords(img, x, y, min_size, stride=16, drop_oob=False):
     """Min-side resize (floor to stride) scaling annotated coords
     (getResults.py:41-76)."""
+    from ransacflow_tpu.utils.image import min_size_shape_wh
+
     x = np.array([float(v) for v in str(x).split(";")], np.float32)
     y = np.array([float(v) for v in str(y).split(";")], np.float32)
     w, h = img.size
-    ratio = min(w / float(min_size), h / float(min_size))
-    new_w, new_h = round(w / ratio), round(h / ratio)
-    new_w, new_h = new_w // stride * stride, new_h // stride * stride
+    new_w, new_h = min_size_shape_wh((w, h), min_size, stride)
     img = img.resize((new_w, new_h), resample=Image.LANCZOS)
     x, y = x * (new_w / float(w)), y * (new_h / float(h))
     if drop_oob:

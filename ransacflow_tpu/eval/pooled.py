@@ -29,6 +29,55 @@ from ransacflow_tpu.pipeline.multihomo import (
 )
 
 
+def make_device_pool(resnet_params, align_params, n_devices, coarse_kwargs):
+    """One (CoarseAligner, align_params) per local device, params pinned.
+
+    Shared by every pooled eval entry (this module and eval/yfcc.py) so the
+    placement scheme has a single implementation.
+    """
+    devices = jax.devices()[:n_devices]
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}"
+    )
+    pool = []
+    for d in devices:
+        rp = jax.device_put(resnet_params, d)
+        ap = jax.device_put(align_params, d)
+        pool.append((CoarseAligner(rp, device=d, **coarse_kwargs), ap))
+    return pool
+
+
+class PendingDrain:
+    """Bounded queue of dispatched device-resident multi-homography loops.
+
+    `add` enqueues a dispatched (idx, final, bg[, extras]) and drains down
+    to the bound (two rounds of per-pair device arrays — keeps every device
+    busy without accumulating results); `flush` drains the rest. Draining
+    blocks on the loop result, finalizes it, and calls
+    ``save_fn(idx, artifact, *extras)`` for each non-None prediction.
+    """
+
+    def __init__(self, n_devices, save_fn):
+        self._pending = deque()
+        self._bound = 2 * n_devices
+        self._save_fn = save_fn
+
+    def _drain_one(self):
+        idx, final, bg, extras = self._pending.popleft()
+        art = multi_homography_finalize(final, bg)
+        if art is not None:
+            self._save_fn(idx, art, *extras)
+
+    def add(self, idx, final, bg, *extras):
+        self._pending.append((idx, final, bg, extras))
+        while len(self._pending) > self._bound:
+            self._drain_one()
+
+    def flush(self):
+        while self._pending:
+            self._drain_one()
+
+
 def pooled_multihomo_predict(
     pairs,
     resnet_params,
@@ -52,24 +101,10 @@ def pooled_multihomo_predict(
         prediction (e.g. artifacts.save_pair).
       seed: base PRNG seed; the per-pair key is fold_in(PRNGKey(seed), idx).
     """
-    devices = jax.devices()[:n_devices]
-    assert len(devices) >= n_devices, (
-        f"need {n_devices} devices, have {len(devices)}"
-    )
-    pool = []
-    for d in devices:
-        rp = jax.device_put(resnet_params, d)
-        ap = jax.device_put(align_params, d)
-        pool.append((CoarseAligner(rp, device=d, **coarse_kwargs), ap))
-
+    pool = make_device_pool(resnet_params, align_params, n_devices,
+                            coarse_kwargs)
     base_key = jax.random.PRNGKey(seed)
-    pending = deque()
-
-    def drain_one():
-        idx, final, bg = pending.popleft()
-        art = multi_homography_finalize(final, bg)
-        if art is not None:
-            save_fn(idx, art)
+    drain = PendingDrain(n_devices, save_fn)
 
     for k, (idx, i_s, i_t, bg) in enumerate(pairs):
         aligner, ap = pool[k % n_devices]
@@ -80,10 +115,5 @@ def pooled_multihomo_predict(
             bg_mask=bg, kernel_size=kernel_size,
             key=jax.random.fold_in(base_key, idx),
         )
-        pending.append((idx, final, bgf))
-        # bounded queue: keep every device busy but don't hold more than
-        # two rounds of per-pair device arrays alive
-        while len(pending) > 2 * n_devices:
-            drain_one()
-    while pending:
-        drain_one()
+        drain.add(idx, final, bgf)
+    drain.flush()

@@ -133,36 +133,22 @@ def pooled_yfcc_predict(
     """
     import jax
     import jax.numpy as jnp
-    from collections import deque
-    from ransacflow_tpu.pipeline.coarse import CoarseAligner
-    from ransacflow_tpu.pipeline.multihomo import (
-        multi_homography_dispatch,
-        multi_homography_finalize,
-    )
+    from ransacflow_tpu.pipeline.multihomo import multi_homography_dispatch
+    from ransacflow_tpu.eval.pooled import make_device_pool, PendingDrain
 
     with open(pairs_pkl, "rb") as f:
         pairs = pickle.load(f)
     with open(os.path.join(image_dir, "images.txt")) as f:
         img_list = [l.strip() for l in f if l.strip()]
 
-    devices = jax.devices()[:n_devices]
-    assert len(devices) >= n_devices, (
-        f"need {n_devices} devices, have {len(devices)}"
-    )
-    pool = []
-    for d in devices:
-        rp = jax.device_put(resnet_params, d)
-        ap = jax.device_put(align_params, d)
-        pool.append((CoarseAligner(rp, device=d, **coarse_kwargs), ap))
-
+    pool = make_device_pool(resnet_params, align_params, n_devices,
+                            coarse_kwargs)
     base_key = jax.random.PRNGKey(seed)
-    pending = deque()
-
-    def drain_one():
-        idx, final, bg, angle = pending.popleft()
-        art = multi_homography_finalize(final, bg)
-        if art is not None:
-            save_pair(out_dir, idx, art, rotation=np.int32(angle))
+    drain = PendingDrain(
+        n_devices,
+        lambda idx, art, angle: save_pair(out_dir, idx, art,
+                                          rotation=np.int32(angle)),
+    )
 
     for k, i in enumerate(range(begin_index, min(end_index, len(pairs)))):
         id_a, id_b = pairs[i]
@@ -199,11 +185,8 @@ def pooled_yfcc_predict(
             mask_region_th=mask_region_th, cycle_match=True, bg_mask=bg,
             key=keys[4],
         )
-        pending.append((i, final, bgf, angle))
-        while len(pending) > 2 * n_devices:
-            drain_one()
-    while pending:
-        drain_one()
+        drain.add(i, final, bgf, angle)
+    drain.flush()
 
 
 def matches_from_flow(flow, match_binary, size_a, size_b, angle):
@@ -273,10 +256,9 @@ def estimate_pose(pts1, pts2, use_ransac=True, threshold=0.0005):
 
 
 def _resized_size(min_size, size, stride=16):
-    w, h = size
-    ratio = min(w / float(min_size), h / float(min_size))
-    new_w, new_h = round(w / ratio), round(h / ratio)
-    return new_w // stride * stride, new_h // stride * stride
+    from ransacflow_tpu.utils.image import min_size_shape_wh
+
+    return min_size_shape_wh(size, min_size, stride)
 
 
 def load_scene_calibration(scene_path, min_size=480):

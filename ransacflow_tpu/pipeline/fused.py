@@ -210,6 +210,9 @@ def fused_align_batch(
             )
         )(tuple(pyramids), targets, res)
 
+    if batch_mode != "scan":
+        raise ValueError(f"unknown batch_mode: {batch_mode!r}")
+
     def body(_, inp):
         pyr, tgt, k = inp
         return None, one(pyr, tgt, k)

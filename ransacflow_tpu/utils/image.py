@@ -11,24 +11,30 @@ from PIL import Image
 STRIDE_NET = 16
 
 
-def resize_min_size(img, min_size, stride=STRIDE_NET):
-    """Resize so the *smaller* dimension ~= min_size, floor to stride.
+def min_size_shape_wh(size_wh, min_size, stride=STRIDE_NET):
+    """(new_w, new_h) of a min-side resize, floored to stride.
 
-    (reference: evaluation/evalHpatch/coarseAlignFeatMatch.py:90-100)
+    THE single implementation of the shape rule (reference:
+    evaluation/evalHpatch/coarseAlignFeatMatch.py:90-100) — every
+    resize/mask/calibration consumer derives from it so the round/floor
+    semantics can never diverge between them.
     """
-    w, h = img.size
+    w, h = size_wh
     ratio = min(w / float(min_size), h / float(min_size))
     new_w, new_h = int(round(w / ratio)), int(round(h / ratio))
-    new_w, new_h = new_w // stride * stride, new_h // stride * stride
-    return img.resize((new_w, new_h), resample=Image.LANCZOS)
+    return new_w // stride * stride, new_h // stride * stride
+
+
+def resize_min_size(img, min_size, stride=STRIDE_NET):
+    """Resize so the *smaller* dimension ~= min_size, floor to stride."""
+    return img.resize(min_size_shape_wh(img.size, min_size, stride),
+                      resample=Image.LANCZOS)
 
 
 def resized_shape_min_size(img, min_size, stride=STRIDE_NET):
     """(Ht, Wt) that `resize_min_size` would produce, without resizing."""
-    w, h = img.size
-    ratio = min(w / float(min_size), h / float(min_size))
-    new_w, new_h = int(round(w / ratio)), int(round(h / ratio))
-    return new_h // stride * stride, new_w // stride * stride
+    new_w, new_h = min_size_shape_wh(img.size, min_size, stride)
+    return new_h, new_w
 
 
 def resize_max_size(img, min_size, stride=STRIDE_NET):

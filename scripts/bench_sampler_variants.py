@@ -6,8 +6,12 @@ to dynamic-slice streams whose cost scales with the NUMBER OF INDICES far
 more than with bytes per index. Variants, all numerically identical to
 ops.sampler.grid_sample (asserted here):
 
-  stacked4: current production path — ONE gather, 4 indices/sample, each
-            fetching a C-vector (ops/sampler.py _corner_gather).
+  stacked4: the ROUND-1 formulation, re-implemented here verbatim so the
+            comparison stays reproducible — ONE gather, 4 indices/sample,
+            each fetching a C-vector. (Production _corner_gather now uses
+            the footprint form, so it can't be timed as the baseline.)
+  production: whatever ops.sampler.grid_sample currently does (should
+            match footprint1).
   span2:    flat (H*W, C) view; each index fetches a (2, C) slice covering
             the two x-adjacent corners of one row -> 2 indices/sample.
   patch1:   (H, W*C) view; each index fetches a (2, 2C) slice covering the
@@ -56,6 +60,32 @@ def main():
     grid = jnp.asarray(
         (rng.rand(B, H, W, 2).astype(np.float32) * 2.4 - 1.2)
     )
+
+    def stacked4(image, grid, align_corners=True):
+        """Round-1 production path: 4 stacked corner indices, C per fetch."""
+        B, H, W, C = image.shape
+        x = _unnormalize(grid[..., 0], W, align_corners)
+        y = _unnormalize(grid[..., 1], H, align_corners)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        xs = jnp.stack([x0, x0 + 1.0, x0, x0 + 1.0])  # (4, B, Ho, Wo)
+        ys = jnp.stack([y0, y0, y0 + 1.0, y0 + 1.0])
+        xi = xs.astype(jnp.int32)
+        yi = ys.astype(jnp.int32)
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xc = jnp.clip(xi, 0, W - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        flat = (yc * W + xc).reshape(4, B, -1)
+        vals = jnp.take_along_axis(
+            image.reshape(1, B, H * W, C), flat[..., None], axis=2
+        ).reshape(4, *grid.shape[:3], C)
+        vals = vals * valid[..., None].astype(vals.dtype)
+        fx, fy = x - x0, y - y0
+        weights = jnp.stack([
+            (1.0 - fx) * (1.0 - fy), fx * (1.0 - fy),
+            (1.0 - fx) * fy, fx * fy,
+        ])
+        return jnp.sum(vals * weights[..., None].astype(vals.dtype), axis=0)
 
     def span2(image, grid, align_corners=True):
         B, H, W, C = image.shape
@@ -225,8 +255,8 @@ def main():
 
     # correctness first
     gold = np.asarray(grid_sample(image, grid))
-    for name, fn in [("span2", span2), ("patch1", patch1),
-                     ("footprint1", footprint1)]:
+    for name, fn in [("stacked4", stacked4), ("span2", span2),
+                     ("patch1", patch1), ("footprint1", footprint1)]:
         got = np.asarray(jax.jit(fn)(image, grid))
         np.testing.assert_allclose(got, gold, atol=1e-5)
         print(f"# {name} matches grid_sample")
@@ -252,9 +282,10 @@ def main():
         print(json.dumps({"impl": name, "ms": round(ms, 3)}))
         return ms
 
-    timed("stacked4", lambda i, g2: grid_sample(i, g2))
+    timed("stacked4", stacked4)
     timed("span2", span2)
     timed("footprint1", footprint1)
+    timed("production", lambda i, g2: grid_sample(i, g2))
 
 
 if __name__ == "__main__":
