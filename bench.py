@@ -123,9 +123,11 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
         return np.asarray(final["count"])
 
     counts = run()  # compile + warm
-    t0 = time.perf_counter()
-    counts = run()
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for _ in range(2):  # best-of-2: the dev tunnel adds run-to-run jitter
+        t0 = time.perf_counter()
+        counts = run()
+        elapsed = min(elapsed, time.perf_counter() - t0)
     return n_pairs / elapsed, float(np.mean(counts))
 
 
@@ -190,9 +192,11 @@ def main():
         return np.asarray(out["num_inliers"])
 
     run(jax.random.PRNGKey(3))  # compile + warm
-    t0 = time.perf_counter()
-    run(jax.random.PRNGKey(4))
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for s in (4, 5):  # best-of-2: the dev tunnel adds run-to-run jitter
+        t0 = time.perf_counter()
+        run(jax.random.PRNGKey(s))
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     pairs_per_sec = N_PAIRS / elapsed
 

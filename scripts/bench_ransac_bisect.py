@@ -81,6 +81,19 @@ def main():
         return jnp.sum(H) + jnp.sum(unique)
     timed("sample_dlt", sample_dlt)
 
+    def sample_only(k):
+        raw, unique = _sample_minimal_sets(k, N, 4, args.n_iter)
+        m12 = jnp.concatenate([m1, m2], axis=1)
+        return jnp.sum(m12[raw]) + jnp.sum(unique)
+    timed("sample_gather_only", sample_only)
+
+    def dlt_only(k):
+        # jitter the pre-gathered sets so the DLT chain can't be CSE'd
+        X = m1[:4][None] + 1e-4 * jax.random.normal(k, (args.n_iter, 4, 3))
+        Y = m2[:4][None] + 1e-4 * jax.random.normal(k, (args.n_iter, 4, 3))
+        return jnp.sum(dlt_homography(X, Y))
+    timed("dlt_only", dlt_only)
+
     def score_only(k):
         # fixed plausible H batch (identity + noise), same scoring math
         H = (jnp.eye(3)[None]
