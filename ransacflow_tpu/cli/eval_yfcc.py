@@ -67,6 +67,12 @@ def main():
             nb_scale=args.nbScale, n_iter=args.coarseIter,
             tolerance=args.coarsetolerance, min_size=args.minSize,
             scale_r=args.scaleR, resize_mode="min",
+            # the YFCC harness uses the quick-start matching variant: masked
+            # target features are RE-matched against the bank every coarse
+            # call, so excluded regions free their source cells (reference
+            # evalYFCC/coarseAlignFeatMatch.py:163-169) — unlike the other
+            # eval harnesses, which filter one cached match set
+            rematch_per_call=True,
         )
         resnet = load_coarse_net(args.mocoPth, args.imageNetPth)
         align = load_align_params(args.resumePth, args.kernelSize)

@@ -52,7 +52,10 @@ def sharded_align_pairs(mesh, resnet_params, align_params, pyramids, targets,
     from ransacflow_tpu.pipeline.fused import fused_align_batch
 
     n_dev = mesh.devices.size
-    assert targets.shape[0] % n_dev == 0, "pair count must divide mesh size"
+    assert targets.shape[0] % n_dev == 0, (
+        f"mesh size ({n_dev}) must divide the pair count "
+        f"({targets.shape[0]}) — pad or bucket the batch"
+    )
 
     def local(pyrs, tgts, ks):
         return fused_align_batch(

@@ -44,11 +44,25 @@ def _coarse_feats(params, img):
 
 @partial(jax.jit, static_argnames=("rematch",))
 def _match_masked(bank, featt, mask_cell, cached_src, cached_valid, rematch):
-    """Per-call masked matching: fresh (rematch) or cached-filtered."""
+    """Per-call masked matching: fresh (rematch) or cached-filtered.
+
+    THE single implementation of the matching policy — the host loop
+    (`get_coarse`), the rotation pre-test (`dispatch_inlier_count`), and
+    the device-resident loop (multihomo `_fused_multi_homo`) all call it,
+    so the rematch/cache semantics cannot diverge between paths.
+    """
     if rematch:
         res = mutual_matching(bank.T, featt.T, validB=mask_cell)
         return res.src_idx, res.valid
     return cached_src, cached_valid & mask_cell
+
+
+def _homogeneous_matches(coords_a, coords_b, src_idx):
+    """(m1, m2) homogeneous match arrays keyed by target cell."""
+    ones = jnp.ones((coords_b.shape[0], 1), jnp.float32)
+    m1 = jnp.concatenate([coords_a[src_idx], ones], axis=1)
+    m2 = jnp.concatenate([coords_b, ones], axis=1)
+    return m1, m2
 
 
 @partial(jax.jit, static_argnames=("fh", "fw"))
@@ -194,10 +208,7 @@ class CoarseAligner:
             self._cached_valid,
             self.rematch,
         )
-        n_b = src_idx.shape[0]
-        ones = jnp.ones((n_b, 1), jnp.float32)
-        m1 = jnp.concatenate([self._coordsA[src_idx], ones], axis=1)
-        m2 = jnp.concatenate([self._coordsB, ones], axis=1)
+        m1, m2 = _homogeneous_matches(self._coordsA, self._coordsB, src_idx)
 
         if int(jnp.sum(valid)) < self.n_points:
             return None, None
@@ -257,10 +268,7 @@ class CoarseAligner:
             self._cached_valid,
             self.rematch,
         )
-        n_b = src_idx.shape[0]
-        ones = jnp.ones((n_b, 1), jnp.float32)
-        m1 = jnp.concatenate([self._coordsA[src_idx], ones], axis=1)
-        m2 = jnp.concatenate([self._coordsB, ones], axis=1)
+        m1, m2 = _homogeneous_matches(self._coordsA, self._coordsB, src_idx)
         if key is None:
             self._key, key = jax.random.split(self._key)
         res = ransac_homography(
@@ -273,7 +281,14 @@ class CoarseAligner:
             n_points=self.n_points,
             transform=self.transform,
         )
-        return jnp.where(res.found, res.num_inliers, 0)
+        # sum the reprojection-error mask, NOT res.num_inliers: the matmul
+        # scoring path and the mask's einsum+sqrt path can disagree by 1 on
+        # knife-edge correspondences, and `pick_rotation` (the sequential
+        # twin of this dispatch) sums the mask — both paths must pick the
+        # same rotation for the same pair
+        return jnp.where(
+            res.found, jnp.sum(res.inlier_mask.astype(jnp.int32)), 0
+        )
 
     @property
     def num_cached_matches(self):

@@ -137,14 +137,16 @@ def _fine_with_gate(align_params, pyramid, target, res, cycle_match,
     )
     foundf = res.found.astype(out["match"].dtype)
     id_grid = warp_grid(eye[None], ht, wt)
-    id_grid8 = warp_grid(eye[None], *out["flow_down8"].shape[1:3])
     return {
         "H21": h_used,
         "found": res.found,
         "num_inliers": res.num_inliers,
+        # `flow` is an ABSOLUTE sampling grid -> identity grid is its no-op;
+        # `flow_down8` is the RAW stride-8 residual that consumers compose
+        # as clip(upsample(flow_down8) + grid) -> zeros is its no-op
         "flow": jnp.where(res.found, out["flow"], id_grid),
         "match": out["match"] * foundf,
-        "flow_down8": jnp.where(res.found, out["flow_down8"], id_grid8),
+        "flow_down8": out["flow_down8"] * foundf,
         "match_down8": out["match_down8"] * foundf,
     }
 

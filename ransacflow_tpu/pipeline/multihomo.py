@@ -15,9 +15,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from ransacflow_tpu.ops.homography import warp_grid
-from ransacflow_tpu.ops.matching import mutual_matching
 from ransacflow_tpu.ops.ransac import ransac_homography
-from ransacflow_tpu.ops.sampler import interpolate_bilinear
+from ransacflow_tpu.pipeline.coarse import (
+    _homogeneous_matches,
+    _mask_to_cells,
+    _match_masked,
+)
 from ransacflow_tpu.pipeline.fine import pred_flow_mask, fine_features
 
 
@@ -114,9 +117,6 @@ def _fused_multi_homo(
     the host loop for exact reference numerics).
     """
     ht, wt = bg_mask.shape
-    n_b = coords_b.shape[0]
-    ones = jnp.ones((n_b, 1), jnp.float32)
-    m2 = jnp.concatenate([coords_b, ones], axis=1)
     h8, w8 = featt_fine.shape[1:3]
     n_slots = max_coarse + 1
 
@@ -126,15 +126,13 @@ def _fused_multi_homo(
     def body(st):
         mask = st["mask"]
         fg = ((mask + (1.0 - bg_mask)) > 0.5).astype(jnp.float32)
-        keep = 1.0 - fg
-        cell = interpolate_bilinear(keep[None, :, :, None], feat_h, feat_w)
-        mask_cell = (cell[0, :, :, 0] > 0.5).reshape(-1)
-        if rematch:
-            mres = mutual_matching(bank.T, featt_c.T, validB=mask_cell)
-            src_idx, valid = mres.src_idx, mres.valid
-        else:
-            src_idx, valid = cached_src, cached_valid & mask_cell
-        m1 = jnp.concatenate([coords_a[src_idx], ones], axis=1)
+        # shared policy helpers (pipeline/coarse.py) — same implementations
+        # as the host loop and the rotation pre-test
+        mask_cell = _mask_to_cells(fg, feat_h, feat_w)
+        src_idx, valid = _match_masked(
+            bank, featt_c, mask_cell, cached_src, cached_valid, rematch
+        )
+        m1, m2 = _homogeneous_matches(coords_a, coords_b, src_idx)
         key, sub = jax.random.split(st["key"])
         res = ransac_homography(
             sub, m1, m2, valid, tolerance, n_iter=n_iter,

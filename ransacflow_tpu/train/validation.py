@@ -9,8 +9,10 @@ pass, and report precision at 8 log-spaced pixel thresholds
 """
 
 import os
+from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from PIL import Image
 
@@ -20,6 +22,7 @@ from ransacflow_tpu.models.feature_extractor import feature_extractor
 from ransacflow_tpu.ops.correlation import correlation_volume
 from ransacflow_tpu.ops.sampler import grid_sample, affine_grid
 from ransacflow_tpu.ops.grid import normalized_grid
+from ransacflow_tpu.utils.image import min_size_shape_wh
 
 PIXEL_GRID = np.around(np.logspace(0, np.log10(36), 8))  # 1..36 px
 
@@ -27,11 +30,34 @@ PIXEL_GRID = np.around(np.logspace(0, np.log10(36), 8))  # 1..36 px
 def resize_min_resolution(min_size, img, x, y, stride=16):
     """Resize min side to `min_size` (floor to stride), scaling coords."""
     w, h = img.size
-    ratio = min(w / float(min_size), h / float(min_size))
-    new_w, new_h = round(w / ratio), round(h / ratio)
-    new_w, new_h = new_w // stride * stride, new_h // stride * stride
+    new_w, new_h = min_size_shape_wh((w, h), min_size, stride)
     img = img.resize((new_w, new_h), resample=Image.LANCZOS)
     return img, x * (new_w / float(w)), y * (new_h / float(h))
+
+
+@partial(jax.jit, static_argnames=("kernel_size",))
+def _fine_forward(params, src, tgt, theta, kernel_size=7):
+    """One jitted fine pass under a fixed coarse affine.
+
+    Compiles once per image shape; without it each CSV row paid per-op
+    dispatch through the dev tunnel on every validation epoch.
+    """
+    ht, wt = tgt.shape[1:3]
+    flow_global = affine_grid(theta, ht, wt)
+    src_sample = grid_sample(src, flow_global)
+
+    feats, _ = feature_extractor(params["netFeatCoarse"], src_sample)
+    feats = l2_normalize(feats, axis=-1)
+    featt, _ = feature_extractor(params["netFeatCoarse"], tgt)
+    featt = l2_normalize(featt, axis=-1)
+
+    corr21 = correlation_volume(featt, feats, kernel_size)
+    flow, _ = net_flow_coarse(
+        params["netFlowCoarse"], corr21, up8=True, kernel_size=kernel_size
+    )
+    grid = normalized_grid(ht, wt)[None]
+    final = flow_to_grid(flow, grid)
+    return grid_sample(flow_global, final)
 
 
 def _parse_coords(field):
@@ -85,21 +111,8 @@ def validate(df, val_dir, coarse_transforms, params, kernel_size=7,
         ht, wt = tgt.shape[1:3]
 
         theta = jnp.asarray(np.asarray(coarse_transforms[i], np.float32))[None]
-        flow_global = affine_grid(theta, ht, wt)
-        src_sample = grid_sample(src, flow_global)
-
-        feats, _ = feature_extractor(params["netFeatCoarse"], src_sample)
-        feats = l2_normalize(feats, axis=-1)
-        featt, _ = feature_extractor(params["netFeatCoarse"], tgt)
-        featt = l2_normalize(featt, axis=-1)
-
-        corr21 = correlation_volume(featt, feats, kernel_size)
-        flow, _ = net_flow_coarse(
-            params["netFlowCoarse"], corr21, up8=True, kernel_size=kernel_size
-        )
-        grid = normalized_grid(ht, wt)[None]
-        final = flow_to_grid(flow, grid)
-        flow_final = grid_sample(flow_global, final)
+        flow_final = _fine_forward(params, src, tgt, theta,
+                                   kernel_size=kernel_size)
 
         err = alignment_error(np.asarray(flow_final[0]), xa, ya, xb, yb, ws, hs)
         hits += (err.reshape(-1, 1) < PIXEL_GRID.reshape(1, -1)).sum(axis=0)
