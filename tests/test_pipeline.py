@@ -189,6 +189,32 @@ def test_multi_homography_fused_matches_host_loop(rng, resnet_params,
     assert np.median(d) < 0.02
 
 
+def test_multi_homography_fused_rematch_mode(rng, resnet_params,
+                                             align_params):
+    """The YFCC configuration (rematch_per_call=True: masked target
+    features re-match against the bank every iteration) through the
+    device-resident loop agrees with the host loop — guards the policy
+    the eval_yfcc CLI activates."""
+    from ransacflow_tpu.pipeline import multi_homography_predict_fused
+
+    src, tgt, H_true = _translated_pair(rng)
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=2000,
+                           min_size=H_IMG, polish_fp64=False,
+                           rematch_per_call=True)
+    coarse.set_pair(src, tgt)
+    host = multi_homography_predict(
+        coarse, align_params, max_coarse=2, mask_region_th=0.01,
+        bg_mask=1.0 - _border_mask(),
+    )
+    fused = multi_homography_predict_fused(
+        coarse, align_params, max_coarse=2, mask_region_th=0.01,
+        bg_mask=1.0 - _border_mask(),
+    )
+    assert host is not None and fused is not None
+    assert _h_error(fused["coarse_h"][0], H_true) < 0.02
+    assert _h_error(fused["coarse_h"][0], host["coarse_h"][0]) < 0.01
+
+
 def test_multi_homography_batch_matches_per_pair(rng, resnet_params,
                                                  align_params):
     """`_fused_multi_homo_batch` (one program for a stack of same-shape
