@@ -36,6 +36,9 @@ def main():
     p.add_argument("--cc_th", type=float, default=0.01)
     p.add_argument("--beginIndex", type=int, default=0)
     p.add_argument("--endIndex", type=int, default=200)
+    p.add_argument("--nDevices", type=int, default=None,
+                   help="thread-per-device prediction pool; artifacts "
+                        "are identical to the sequential run")
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -50,12 +53,9 @@ def main():
     args = parser.parse_args()
 
     if args.cmd == "predict":
-        from ransacflow_tpu.eval import predict_kitti
+        from ransacflow_tpu.eval import predict_kitti, pooled_kitti_predict
 
-        predict_kitti(
-            args.testImg, args.outDir,
-            load_coarse_net(args.mocoPth, args.imageNetPth),
-            load_align_params(args.resumePth, args.kernelSize),
+        common = dict(
             coarse_size=args.coarseSize, fine_size=args.fineSize,
             nb_scale=args.nbScale, scale_r=args.scaleR,
             n_iter=args.coarseIter, tolerance=args.coarsetolerance,
@@ -63,6 +63,13 @@ def main():
             begin_index=args.beginIndex, end_index=args.endIndex,
             bg_mask_fn=build_sky_fn(args),
         )
+        resnet = load_coarse_net(args.mocoPth, args.imageNetPth)
+        align = load_align_params(args.resumePth, args.kernelSize)
+        if args.nDevices is not None:
+            pooled_kitti_predict(args.testImg, args.outDir, resnet, align,
+                                 args.nDevices, **common)
+        else:
+            predict_kitti(args.testImg, args.outDir, resnet, align, **common)
     else:
         from ransacflow_tpu.eval import evaluate_kitti
 

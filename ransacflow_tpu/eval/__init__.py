@@ -22,6 +22,7 @@ from ransacflow_tpu.eval.yfcc import (
 )
 from ransacflow_tpu.eval.kitti import (
     predict_kitti,
+    pooled_kitti_predict,
     evaluate_kitti,
     read_kitti_flow,
 )

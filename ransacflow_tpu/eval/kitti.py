@@ -69,92 +69,183 @@ def predict_kitti(
     bg_mask_fn=None,
     max_coarse=None,
 ):
-    """Predict flow for pairs ({i:06}_10.png target, {i:06}_11.png source)."""
+    """Predict flow for pairs ({i:06}_10.png target, {i:06}_11.png source).
+
+    RANSAC keys are derived per pair index (fold_in(PRNGKey(seed), i)), so
+    a --beginIndex/--endIndex restart produces the same artifacts as the
+    full run — and `pooled_kitti_predict` is bit-identical for any pool
+    size. (The reference seeds once globally, evalKITTI/evaluation.py:
+    182-183, making shard artifacts depend on the shard start.)
+    """
     coarse = CoarseAligner(
         resnet_params, nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
         min_size=coarse_size, scale_r=scale_r, resize_mode="min", seed=seed,
     )
     for i in range(begin_index, end_index):
-        i_s = Image.open(
-            os.path.join(image_dir, f"{i:06}_11.png")
-        ).convert("RGB")
-        i_t = Image.open(
-            os.path.join(image_dir, f"{i:06}_10.png")
-        ).convert("RGB")
+        _predict_one_kitti_pair(
+            coarse, align_params, image_dir, out_dir, i,
+            fine_size=fine_size, mask_region_th=mask_region_th, cc_th=cc_th,
+            seed=seed, bg_mask_fn=bg_mask_fn, max_coarse=max_coarse,
+        )
 
-        it_resize = resize_round_stride(i_t, fine_size, stride=8)
-        it_d2 = resize_round_stride(i_t, fine_size // 2, stride=8)
 
-        src = jnp.asarray(to_array(i_s))[None]
-        tgt_org = to_array(i_t)
-        tgt_resize = jnp.asarray(to_array(it_resize))[None]
-        tgt_d2 = jnp.asarray(to_array(it_d2))[None]
-        h_org, w_org = tgt_org.shape[:2]
-        h_rs, w_rs = tgt_resize.shape[1:3]
-        h_d2, w_d2 = tgt_d2.shape[1:3]
+def _predict_one_kitti_pair(
+    coarse, align_params, image_dir, out_dir, i, *,
+    fine_size, mask_region_th, cc_th, seed, bg_mask_fn, max_coarse,
+):
+    """One pair's two-resolution prediction (shared by the sequential and
+    pooled drivers). The loop must stay host-orchestrated: the accept
+    decision runs scipy connected-component cleanup on the matchability
+    every iteration, which has no device equivalent here."""
+    import jax
 
-        coarse.set_pair(i_s, i_t)
-        if bg_mask_fn is not None:
-            bg = bg_mask_fn(os.path.join(image_dir, f"{i:06}_10.png"),
-                            (h_org, w_org))
+    i_s = Image.open(
+        os.path.join(image_dir, f"{i:06}_11.png")
+    ).convert("RGB")
+    i_t = Image.open(
+        os.path.join(image_dir, f"{i:06}_10.png")
+    ).convert("RGB")
+
+    it_resize = resize_round_stride(i_t, fine_size, stride=8)
+    it_d2 = resize_round_stride(i_t, fine_size // 2, stride=8)
+
+    src = jnp.asarray(to_array(i_s))[None]
+    if coarse.device is not None:
+        src = jax.device_put(src, coarse.device)
+    tgt_org = to_array(i_t)
+    tgt_resize = coarse._put(to_array(it_resize))[None]
+    tgt_d2 = coarse._put(to_array(it_d2))[None]
+    h_org, w_org = tgt_org.shape[:2]
+    h_rs, w_rs = tgt_resize.shape[1:3]
+    h_d2, w_d2 = tgt_d2.shape[1:3]
+
+    coarse.set_pair(i_s, i_t)
+    # per-pair deterministic RANSAC stream (order/shard independent)
+    coarse._key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+    if coarse.device is not None:
+        coarse._key = jax.device_put(coarse._key, coarse.device)
+    if bg_mask_fn is not None:
+        bg = bg_mask_fn(os.path.join(image_dir, f"{i:06}_10.png"),
+                        (h_org, w_org))
+    else:
+        bg = np.ones((h_org, w_org), np.float32)
+
+    featt_d2 = fine_features(align_params, tgt_d2)
+    featt_rs = fine_features(align_params, tgt_resize)
+
+    mask = np.zeros((h_org, w_org), np.float32)
+    hs, flows_d2, flows_full, matches_full = [], [], [], []
+    nb_coarse = 0
+    while True:
+        fg = ((mask + (1.0 - bg)) > 0.5).astype(np.float32)
+        H, _ = coarse.get_coarse(fg)
+        if H is None:
+            break
+        h_grid_d2 = warp_grid(coarse._put(np.asarray(H))[None], h_d2, w_d2)
+        h_grid_rs = warp_grid(coarse._put(np.asarray(H))[None], h_rs, w_rs)
+
+        # pass 1: fine flow at half resolution
+        out_d2 = pred_flow_mask(
+            align_params, src, featt_d2, h_grid_d2, cycle_match=True,
+        )
+        # compose the d2 stride-8 flow into a new coarse grid at fineSize
+        flow_coarse = _compose(out_d2["flow_down8"], h_grid_rs, h_rs, w_rs)
+
+        # pass 2: fine at fineSize, composed at original resolution
+        out_full = pred_flow_mask(
+            align_params, src, featt_rs, flow_coarse, cycle_match=True,
+            out_hw=(h_org, w_org),
+        )
+        match_fine = remove_small_cc(
+            np.array(out_full["match"]), cc_th, match_th=0.99
+        )
+
+        accept = ((match_fine > 0.9999) * (1.0 - fg)).mean() > mask_region_th
+        if accept or nb_coarse == 0:
+            hs.append(H)
+            flows_d2.append(np.asarray(out_d2["flow_down8"][0]))
+            flows_full.append(np.asarray(out_full["flow_down8"][0]))
+            matches_full.append(np.asarray(out_full["match_down8"][0]))
+            nb_coarse += 1
+            match_fine = match_fine * (1.0 - fg)
+            mask = ((mask + match_fine) > 0.9999).astype(np.float32)
+            if max_coarse is not None and nb_coarse > max_coarse:
+                break
         else:
-            bg = np.ones((h_org, w_org), np.float32)
+            break
 
-        featt_d2 = fine_features(align_params, tgt_d2)
-        featt_rs = fine_features(align_params, tgt_resize)
+    if hs:
+        save_pair(
+            out_dir, i,
+            {
+                "coarse_h": np.stack(hs),
+                "fine_flow_down8": np.stack(flows_full),
+                "fine_match_down8": np.stack(matches_full),
+                "bg_mask": bg.astype(bool),
+            },
+            fine_flow_d2_down8=np.stack(flows_d2),
+        )
 
-        mask = np.zeros((h_org, w_org), np.float32)
-        hs, flows_d2, flows_full, matches_full = [], [], [], []
-        nb_coarse = 0
-        while True:
-            fg = ((mask + (1.0 - bg)) > 0.5).astype(np.float32)
-            H, _ = coarse.get_coarse(fg)
-            if H is None:
-                break
-            h_grid_d2 = warp_grid(jnp.asarray(H)[None], h_d2, w_d2)
-            h_grid_rs = warp_grid(jnp.asarray(H)[None], h_rs, w_rs)
 
-            # pass 1: fine flow at half resolution
-            out_d2 = pred_flow_mask(
-                align_params, src, featt_d2, h_grid_d2, cycle_match=True,
+def pooled_kitti_predict(
+    image_dir,
+    out_dir,
+    resnet_params,
+    align_params,
+    n_devices,
+    coarse_size=800,
+    fine_size=650,
+    nb_scale=3,
+    scale_r=1.2,
+    n_iter=50000,
+    tolerance=0.05,
+    mask_region_th=0.005,
+    cc_th=0.01,
+    begin_index=0,
+    end_index=200,
+    seed=1000,
+    bg_mask_fn=None,
+    max_coarse=None,
+):
+    """`predict_kitti` over a thread-per-device pool.
+
+    KITTI's per-iteration accept decision runs host-side scipy
+    connected-component cleanup, so the loop cannot be made device-resident
+    like the other harnesses (eval/pooled.py); instead each local device
+    gets a worker thread running the sequential per-pair procedure on its
+    own pinned CoarseAligner, with pair indices statically striped across
+    workers. Per-pair fold_in keys make the artifacts bit-identical to the
+    sequential path for any pool size.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    devices = jax.devices()[:n_devices]
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}"
+    )
+    kwargs = dict(
+        fine_size=fine_size, mask_region_th=mask_region_th, cc_th=cc_th,
+        seed=seed, bg_mask_fn=bg_mask_fn, max_coarse=max_coarse,
+    )
+
+    def worker(w):
+        d = devices[w]
+        rp = jax.device_put(resnet_params, d)
+        ap = jax.device_put(align_params, d)
+        aligner = CoarseAligner(
+            rp, nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
+            min_size=coarse_size, scale_r=scale_r, resize_mode="min",
+            seed=seed, device=d,
+        )
+        for i in range(begin_index + w, end_index, n_devices):
+            _predict_one_kitti_pair(
+                aligner, ap, image_dir, out_dir, i, **kwargs
             )
-            # compose the d2 stride-8 flow into a new coarse grid at fineSize
-            flow_coarse = _compose(out_d2["flow_down8"], h_grid_rs, h_rs, w_rs)
 
-            # pass 2: fine at fineSize, composed at original resolution
-            out_full = pred_flow_mask(
-                align_params, src, featt_rs, flow_coarse, cycle_match=True,
-                out_hw=(h_org, w_org),
-            )
-            match_fine = remove_small_cc(
-                np.array(out_full["match"]), cc_th, match_th=0.99
-            )
-
-            accept = ((match_fine > 0.9999) * (1.0 - fg)).mean() > mask_region_th
-            if accept or nb_coarse == 0:
-                hs.append(H)
-                flows_d2.append(np.asarray(out_d2["flow_down8"][0]))
-                flows_full.append(np.asarray(out_full["flow_down8"][0]))
-                matches_full.append(np.asarray(out_full["match_down8"][0]))
-                nb_coarse += 1
-                match_fine = match_fine * (1.0 - fg)
-                mask = ((mask + match_fine) > 0.9999).astype(np.float32)
-                if max_coarse is not None and nb_coarse > max_coarse:
-                    break
-            else:
-                break
-
-        if hs:
-            save_pair(
-                out_dir, i,
-                {
-                    "coarse_h": np.stack(hs),
-                    "fine_flow_down8": np.stack(flows_full),
-                    "fine_match_down8": np.stack(matches_full),
-                    "bg_mask": bg.astype(bool),
-                },
-                fine_flow_d2_down8=np.stack(flows_d2),
-            )
+    with ThreadPoolExecutor(max_workers=n_devices) as ex:
+        list(ex.map(worker, range(n_devices)))
 
 
 def evaluate_kitti(

@@ -333,6 +333,40 @@ def test_kitti_harness_end_to_end(tmp_path, rng, resnet_params, align_params):
     assert np.isfinite(mean_fine)
 
 
+def test_kitti_pooled_matches_sequential(tmp_path, rng, resnet_params,
+                                         align_params):
+    """pooled_kitti_predict (thread-per-device pool) produces bit-identical
+    artifacts to predict_kitti: per-pair fold_in keys make the RANSAC
+    stream independent of worker striping and thread timing."""
+    from ransacflow_tpu.eval import predict_kitti, pooled_kitti_predict
+    from ransacflow_tpu.eval.artifacts import load_pair
+
+    img_dir = tmp_path / "image_2"
+    os.makedirs(img_dir)
+    for i in range(2):
+        src, tgt = _translation_pair(rng)
+        src.save(img_dir / f"{i:06}_11.png")
+        tgt.save(img_dir / f"{i:06}_10.png")
+
+    kwargs = dict(
+        coarse_size=H_IMG, fine_size=128, nb_scale=1, n_iter=2000,
+        end_index=2, max_coarse=0,
+        bg_mask_fn=lambda path, hw: _fg_border_mask(*hw),
+    )
+    seq_dir = str(tmp_path / "seq")
+    pool_dir = str(tmp_path / "pool")
+    predict_kitti(str(img_dir), seq_dir, resnet_params, align_params,
+                  **kwargs)
+    pooled_kitti_predict(str(img_dir), pool_dir, resnet_params, align_params,
+                         2, **kwargs)
+    for i in range(2):
+        a = load_pair(seq_dir, i)
+        b = load_pair(pool_dir, i)
+        assert a is not None and b is not None
+        for k in ("coarse_h", "fine_flow_down8", "fine_match_down8"):
+            np.testing.assert_array_equal(a[k], b[k])
+
+
 def test_aachen_export(tmp_path, rng, resnet_params, align_params):
     from ransacflow_tpu.pipeline import CoarseAligner
     from ransacflow_tpu.eval import export_correspondences, write_match_file
