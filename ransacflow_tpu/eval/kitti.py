@@ -109,9 +109,7 @@ def _predict_one_kitti_pair(
     it_resize = resize_round_stride(i_t, fine_size, stride=8)
     it_d2 = resize_round_stride(i_t, fine_size // 2, stride=8)
 
-    src = jnp.asarray(to_array(i_s))[None]
-    if coarse.device is not None:
-        src = jax.device_put(src, coarse.device)
+    src = coarse._put(to_array(i_s))[None]
     tgt_org = to_array(i_t)
     tgt_resize = coarse._put(to_array(it_resize))[None]
     tgt_d2 = coarse._put(to_array(it_d2))[None]
@@ -219,11 +217,13 @@ def pooled_kitti_predict(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    import jax
+    from ransacflow_tpu.eval.pooled import make_device_pool
 
-    devices = jax.devices()[:n_devices]
-    assert len(devices) >= n_devices, (
-        f"need {n_devices} devices, have {len(devices)}"
+    pool = make_device_pool(
+        resnet_params, align_params, n_devices,
+        dict(nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
+             min_size=coarse_size, scale_r=scale_r, resize_mode="min",
+             seed=seed),
     )
     kwargs = dict(
         fine_size=fine_size, mask_region_th=mask_region_th, cc_th=cc_th,
@@ -231,14 +231,7 @@ def pooled_kitti_predict(
     )
 
     def worker(w):
-        d = devices[w]
-        rp = jax.device_put(resnet_params, d)
-        ap = jax.device_put(align_params, d)
-        aligner = CoarseAligner(
-            rp, nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
-            min_size=coarse_size, scale_r=scale_r, resize_mode="min",
-            seed=seed, device=d,
-        )
+        aligner, ap = pool[w]
         for i in range(begin_index + w, end_index, n_devices):
             _predict_one_kitti_pair(
                 aligner, ap, image_dir, out_dir, i, **kwargs

@@ -198,7 +198,8 @@ class CoarseAligner:
         if exclusion_mask is None:
             exclusion_mask = np.zeros((ht, wt), np.float32)
         mask_cell = _mask_to_cells(
-            jnp.asarray(exclusion_mask, jnp.float32), self.feat_h, self.feat_w
+            self._put(np.asarray(exclusion_mask, np.float32)),
+            self.feat_h, self.feat_w,
         )
         src_idx, valid = _match_masked(
             self._bank,

@@ -363,7 +363,8 @@ def test_kitti_pooled_matches_sequential(tmp_path, rng, resnet_params,
         a = load_pair(seq_dir, i)
         b = load_pair(pool_dir, i)
         assert a is not None and b is not None
-        for k in ("coarse_h", "fine_flow_down8", "fine_match_down8"):
+        for k in ("coarse_h", "fine_flow_down8", "fine_match_down8",
+                  "fine_flow_d2_down8", "bg_mask"):
             np.testing.assert_array_equal(a[k], b[k])
 
 
