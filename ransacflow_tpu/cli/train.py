@@ -42,6 +42,9 @@ def main():
     parser.add_argument("--computeDtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="mixed-precision conv compute (fp32 masters)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize the feature trunk in backward "
+                             "(same numerics, smaller activation memory)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--maxStepsPerEpoch", type=int, default=None)
 
@@ -100,6 +103,7 @@ def main():
         max_steps_per_epoch=args.maxStepsPerEpoch,
         compute_dtype=(None if args.computeDtype == "float32"
                        else args.computeDtype),
+        remat=args.remat,
     )
 
 

@@ -61,6 +61,7 @@ def fit(
     log_every=50,
     max_steps_per_epoch=None,
     compute_dtype=None,
+    remat=False,
 ):
     """Train the alignment nets. Returns (params, best_prec).
 
@@ -73,7 +74,7 @@ def fit(
     loss_kwargs = dict(mode=mode, mu_cycle=mu_cycle,
                        lambda_match=lambda_match, grad_weight=grad_weight,
                        kernel_size=kernel_size, lr=lr,
-                       compute_dtype=compute_dtype)
+                       compute_dtype=compute_dtype, remat=remat)
     init_opt, step_fn = make_train_step(**loss_kwargs)
     opt_state = init_opt(params)
 

@@ -60,6 +60,7 @@ def compute_losses(
     train=True,
     axis_name=None,
     compute_dtype=None,
+    remat=False,
 ):
     """Returns (total_loss, aux) with aux = dict(loss terms + bn stats).
 
@@ -75,6 +76,11 @@ def compute_losses(
         that dtype, while BN, flow/grid coordinates, warping and all loss
         arithmetic stay fp32 (bf16 grid coords would cost ~1 px of sampling
         precision at 224px).
+      remat: rematerialize the feature-extractor trunk in the backward
+        pass (jax.checkpoint) instead of storing its ~2B*H*W*256-element
+        activation stack — trades one extra trunk forward for the largest
+        activation footprint of the step, enabling bigger batches / larger
+        crops per device.
     """
     trained = TRAIN_MODULES[mode]
     with_match = mode in ("flow+match", "grad")
@@ -90,9 +96,14 @@ def compute_losses(
     stats = {}
 
     feat_train = train and "netFeatCoarse" in trained
-    f, s = feature_extractor(
-        params["netFeatCoarse"], images, train=feat_train, axis_name=axis_name
-    )
+
+    def trunk(p, im):
+        return feature_extractor(p, im, train=feat_train,
+                                 axis_name=axis_name)
+
+    if remat:
+        trunk = jax.checkpoint(trunk)
+    f, s = trunk(params["netFeatCoarse"], images)
     if s:
         stats["netFeatCoarse"] = s
     f = l2_normalize(maybe_frozen("netFeatCoarse", f), axis=-1)

@@ -44,6 +44,7 @@ def make_train_step(
     lr=2e-4,
     axis_name=None,
     compute_dtype=None,
+    remat=False,
 ):
     """Build (init_opt_state, step_fn).
 
@@ -55,6 +56,10 @@ def make_train_step(
     dtype): fp32 master weights + Adam state, conv compute in the given
     dtype, fp32 loss/BN-stat accumulation (see compute_losses). Gradients
     flow through the cast and arrive fp32.
+
+    remat: rematerialize the feature trunk in backward (see
+    compute_losses) — same numerics, one extra trunk forward, much smaller
+    activation footprint for large batches/crops.
     """
     if isinstance(compute_dtype, str):
         compute_dtype = jnp.dtype(compute_dtype)
@@ -83,6 +88,7 @@ def make_train_step(
                 train=True,
                 axis_name=axis_name,
                 compute_dtype=compute_dtype,
+                remat=remat,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable)

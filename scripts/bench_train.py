@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--mode", default="flow+match")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -46,6 +47,8 @@ def main():
     kwargs = {}
     if args.dtype != "float32":
         kwargs["compute_dtype"] = args.dtype
+    if args.remat:
+        kwargs["remat"] = True
 
     params = init_alignment_params(jax.random.PRNGKey(0))
     init_opt, step = make_train_step(
@@ -91,7 +94,7 @@ def main():
 
     ms_per_step = (t_n - t_1) / (args.iters - 1) * 1000.0
     print(json.dumps({
-        "metric": f"train_step_ms_B{args.batch}_{args.img}px_{args.dtype}",
+        "metric": f"train_step_ms_B{args.batch}_{args.img}px_{args.dtype}" + ("_remat" if args.remat else ""),
         "value": round(ms_per_step, 2),
         "unit": "ms/step",
         "loss": round(loss_n, 4),

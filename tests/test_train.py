@@ -88,6 +88,27 @@ def test_train_step_updates_only_trainable(rng, params):
     ).max() > 0
 
 
+def test_train_step_remat_matches_plain(rng, params):
+    """jax.checkpoint on the feature trunk changes memory, not numerics:
+    one step with remat=True produces the same loss and updated params as
+    the plain step."""
+    imgs, roll, grid, mask = _batch(rng, 2)
+    outs = []
+    for remat in (False, True):
+        init_opt, step = make_train_step(mode="flow+match", mu_cycle=1.0,
+                                         lambda_match=0.01, grad_weight=1.0,
+                                         remat=remat)
+        opt_state = init_opt(params)
+        p, _, metrics = jax.jit(step)(params, opt_state, imgs, roll, grid,
+                                      mask)
+        outs.append((p, float(metrics["loss"])))
+    (p0, l0), (p1, l1) = outs
+    assert np.isclose(l0, l1, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_train_loss_decreases(rng, params):
     init_opt, step = make_train_step(mode="flow", mu_cycle=0.0, lr=1e-3)
     opt_state = init_opt(params)
