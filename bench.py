@@ -34,6 +34,14 @@ N_ITER = 10000
 BASELINE_PAIRS_PER_SEC_PER_CHIP = 50.0 / 8.0
 
 
+def _round(x, ndigits):
+    """round() that passes None (-> JSON null) through unchanged.
+
+    Explicit None test — truthiness would turn a legitimate 0.0 measurement
+    into an unrounded falsy passthrough (ADVICE r2)."""
+    return None if x is None else round(x, ndigits)
+
+
 def pyramid_shapes(min_size=MIN_SIZE, aspect=ASPECT, nb_scale=7, scale_r=2.0,
                    stride=16):
     from ransacflow_tpu.utils.image import scale_list
@@ -223,13 +231,14 @@ def main():
                 ),
                 "extra_metrics": {
                     "multihomo_hpatches50k_maxcoarse_exhausted_pairs_s":
-                        mh_pps and round(mh_pps, 3),
+                        _round(mh_pps, 3),
                     "multihomo_exhausted_avg_homographies":
-                        mh_avg_h and round(mh_avg_h, 2),
+                        _round(mh_avg_h, 2),
                     "multihomo_hpatches50k_3homo_pairs_s":
-                        mh3_pps and round(mh3_pps, 3),
-                    "multihomo_3homo_vs_baseline_per_chip": mh3_pps and round(
-                        mh3_pps / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3
+                        _round(mh3_pps, 3),
+                    "multihomo_3homo_vs_baseline_per_chip": _round(
+                        None if mh3_pps is None
+                        else mh3_pps / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3
                     ),
                 },
             }

@@ -32,5 +32,15 @@ if _os.environ.get("JAX_PLATFORMS"):
 
     try:
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    except Exception:
-        pass  # backends already initialized — the caller's choice stands
+    except RuntimeError:
+        # Backends already initialized — the earlier caller's choice stands.
+        # Anything else (e.g. a typo'd platform string) must NOT be swallowed:
+        # the process would silently run on the wrong backend.
+        import warnings as _warnings
+
+        _warnings.warn(
+            "JAX backends already initialized; JAX_PLATFORMS="
+            f"{_os.environ['JAX_PLATFORMS']!r} was not applied",
+            RuntimeWarning,
+            stacklevel=2,
+        )

@@ -59,8 +59,7 @@ def main():
     args = parser.parse_args()
 
     if args.cmd == "predict":
-        from ransacflow_tpu.eval import predict_yfcc
-        from ransacflow_tpu.eval.yfcc import pooled_yfcc_predict
+        from ransacflow_tpu.eval import predict_yfcc, pooled_yfcc_predict
         from ransacflow_tpu.pipeline import CoarseAligner
 
         coarse_kwargs = dict(

@@ -13,6 +13,7 @@ from ransacflow_tpu.eval.hpatches import (
 from ransacflow_tpu.eval.corr import predict_corr, evaluate_corr, PIXEL_GRID
 from ransacflow_tpu.eval.yfcc import (
     predict_yfcc,
+    pooled_yfcc_predict,
     evaluate_yfcc,
     pick_rotation,
     matches_from_flow,

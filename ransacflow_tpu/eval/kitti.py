@@ -97,8 +97,6 @@ def _predict_one_kitti_pair(
     pooled drivers). The loop must stay host-orchestrated: the accept
     decision runs scipy connected-component cleanup on the matchability
     every iteration, which has no device equivalent here."""
-    import jax
-
     i_s = Image.open(
         os.path.join(image_dir, f"{i:06}_11.png")
     ).convert("RGB")
@@ -109,19 +107,17 @@ def _predict_one_kitti_pair(
     it_resize = resize_round_stride(i_t, fine_size, stride=8)
     it_d2 = resize_round_stride(i_t, fine_size // 2, stride=8)
 
-    src = coarse._put(to_array(i_s))[None]
+    src = coarse.put(to_array(i_s))[None]
     tgt_org = to_array(i_t)
-    tgt_resize = coarse._put(to_array(it_resize))[None]
-    tgt_d2 = coarse._put(to_array(it_d2))[None]
+    tgt_resize = coarse.put(to_array(it_resize))[None]
+    tgt_d2 = coarse.put(to_array(it_d2))[None]
     h_org, w_org = tgt_org.shape[:2]
     h_rs, w_rs = tgt_resize.shape[1:3]
     h_d2, w_d2 = tgt_d2.shape[1:3]
 
     coarse.set_pair(i_s, i_t)
     # per-pair deterministic RANSAC stream (order/shard independent)
-    coarse._key = jax.random.fold_in(jax.random.PRNGKey(seed), i)
-    if coarse.device is not None:
-        coarse._key = jax.device_put(coarse._key, coarse.device)
+    coarse.reseed(i, seed=seed)
     if bg_mask_fn is not None:
         bg = bg_mask_fn(os.path.join(image_dir, f"{i:06}_10.png"),
                         (h_org, w_org))
@@ -139,8 +135,8 @@ def _predict_one_kitti_pair(
         H, _ = coarse.get_coarse(fg)
         if H is None:
             break
-        h_grid_d2 = warp_grid(coarse._put(np.asarray(H))[None], h_d2, w_d2)
-        h_grid_rs = warp_grid(coarse._put(np.asarray(H))[None], h_rs, w_rs)
+        h_grid_d2 = warp_grid(coarse.put(np.asarray(H))[None], h_d2, w_d2)
+        h_grid_rs = warp_grid(coarse.put(np.asarray(H))[None], h_rs, w_rs)
 
         # pass 1: fine flow at half resolution
         out_d2 = pred_flow_mask(

@@ -126,6 +126,7 @@ class CoarseAligner:
         self.resize_mode = resize_mode
         self.rematch = bool(rematch_per_call)
         self.polish_fp64 = bool(polish_fp64)
+        self.seed = int(seed)
         self._key = jax.random.PRNGKey(seed)
         self._resize = resize_min_size if resize_mode == "min" else resize_max_size
 
@@ -134,6 +135,29 @@ class CoarseAligner:
         if self.device is not None:
             return jax.device_put(jnp.asarray(arr), self.device)
         return jnp.asarray(arr)
+
+    def put(self, arr):
+        """Public host->device transfer pinned to this aligner's device.
+
+        Eval harnesses that interleave their own fine-stage arrays with this
+        aligner's dispatches (eval/kitti.py) must place them on the same
+        device; this is the supported way to do that.
+        """
+        return self._put(arr)
+
+    def reseed(self, index, seed=None):
+        """Reset the RANSAC PRNG stream to fold_in(PRNGKey(seed), index).
+
+        Gives each pair a deterministic hypothesis stream independent of
+        visit order, so --beginIndex/--endIndex restarts and device pools of
+        any size produce bit-identical artifacts (improves on the reference's
+        single global seed, evalKITTI/evaluation.py:182-183).
+        """
+        if seed is None:
+            seed = self.seed
+        self._key = self._put(
+            jax.random.fold_in(jax.random.PRNGKey(seed), index)
+        )
 
     # -- pair setup ---------------------------------------------------------
 
