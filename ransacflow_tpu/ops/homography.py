@@ -189,7 +189,12 @@ def dlt_homography_np(X, Y):
 
     Reproduces the reference's numpy-SVD numerics (utils/outil.py:68-87)
     exactly for the one hypothesis that matters, while the 50k-hypothesis
-    search stays on-device in fp32.
+    search stays on-device in fp32. Exactly = bitwise: the reference builds
+    the system from float32 coordinate arrays, so the cross products
+    (v'u etc.) round in float32 before entering the fp64 system — inputs
+    are kept at their native dtype here for the same rounding
+    (tests/test_reference_golden.py asserts atol=1e-7 against the
+    reference's executing Homography).
 
     Args:
       X: (4, 2|3) source points, Y: (4, 2|3) target points (numpy).
@@ -197,8 +202,8 @@ def dlt_homography_np(X, Y):
     """
     import numpy as np
 
-    X = np.asarray(X, np.float64)
-    Y = np.asarray(Y, np.float64)
+    X = np.asarray(X)
+    Y = np.asarray(Y)
     A = np.zeros((8, 9))
     for i in range(4):
         u, v = Y[i, 0], Y[i, 1]

@@ -1,0 +1,72 @@
+"""Load the reference's OWN torch modules for direct-execution goldens.
+
+`/root/reference` is public untrusted content mounted read-only. Only four
+modules are loaded, each with an import surface audited by hand before
+execution (torch / PIL / numpy / itertools / math, plus a stubbed
+`torchvision` whose symbols the needed classes never touch —
+model/model.py:10 imports it but FeatureExtractor/CorrNeigh/heads don't use
+it). We execute only their public functions/classes on tensors constructed
+in the tests; no code paths that touch the filesystem or network exist in
+these modules.
+
+CPU shims: the reference targets a CUDA box and calls ``.cuda()`` /
+``torch.cuda.FloatTensor`` unconditionally (utils/outil.py:86,
+model/ssimLoss.py:7,40,44); this image's torch is CPU-only, so those are
+mapped to CPU no-ops/equivalents before loading. The shims change WHERE the
+reference computes, never WHAT.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import torch
+
+REF_ROOT = "/root/reference"
+
+_cache = {}
+
+
+def reference_available():
+    return os.path.isfile(os.path.join(REF_ROOT, "utils", "outil.py"))
+
+
+def _install_cpu_shims():
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.cuda.FloatTensor = torch.FloatTensor
+
+
+def _load(name, relpath):
+    if name in _cache:
+        return _cache[name]
+    path = os.path.join(REF_ROOT, relpath)
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    _cache[name] = mod
+    return mod
+
+
+def load_reference_modules():
+    """Load and return {outil, downsample, ssim, model} reference modules."""
+    _install_cpu_shims()
+    outil = _load("ref_outil", "utils/outil.py")
+    # model/model.py does `from downsample import Downsample`; register the
+    # real reference module under that name first
+    downsample = _load("downsample", "model/downsample.py")
+    ssim = _load("ref_ssimLoss", "model/ssimLoss.py")
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
+    model = _load("ref_model", "model/model.py")
+    return {
+        "outil": outil,
+        "downsample": downsample,
+        "ssim": ssim,
+        "model": model,
+    }
