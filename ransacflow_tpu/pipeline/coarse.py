@@ -206,12 +206,18 @@ class CoarseAligner:
 
     # -- per-iteration coarse fit ------------------------------------------
 
-    def get_coarse(self, exclusion_mask=None):
+    def get_coarse(self, exclusion_mask=None, injected_samples=None):
         """Fit the dominant transform on the not-yet-excluded target region.
 
         Args:
           exclusion_mask: (Ht, Wt) float/bool array, 1 = exclude (already
             matched / sky). None = use everything.
+          injected_samples: optional (n, n_points) int array of target-cell
+            indices to use as the minimal sets INSTEAD of PRNG sampling —
+            the deterministic parity mode (SURVEY.md §7): with identical
+            minimal sets the solve/score/select pipeline can be compared
+            against the reference directly
+            (tests/test_reference_harness.py).
 
         Returns (H21, inlier_mask_image) where H21 is a float32 (3, 3)
         numpy array mapping target normalized coords to source normalized
@@ -239,15 +245,21 @@ class CoarseAligner:
             return None, None
 
         self._key, sub = jax.random.split(self._key)
+        if injected_samples is not None:
+            injected_samples = jnp.asarray(injected_samples, jnp.int32)
         res = ransac_homography(
             sub,
             m1,
             m2,
             valid,
             self.tolerance,
-            n_iter=self.n_iter,
+            n_iter=(
+                self.n_iter if injected_samples is None
+                else injected_samples.shape[0]
+            ),
             n_points=self.n_points,
             transform=self.transform,
+            injected_samples=injected_samples,
         )
         if not bool(res.found):
             return None, None
