@@ -53,6 +53,9 @@ def main():
     val.add_argument("--valImgDir", type=str, required=True)
     val.add_argument("--valCSV", type=str, required=True)
     val.add_argument("--inPklCoarse", type=str, required=True)
+    val.add_argument("--valMinSize", type=int, default=480,
+                     help="validation resize min side (ref hard-codes 480, "
+                          "train/validation.py:60)")
     noval = sub.add_parser("NoVal")
     noval.add_argument("--epochSaveModel", type=int, default=10)
 
@@ -97,6 +100,7 @@ def main():
         val_csv=getattr(args, "valCSV", None),
         val_dir=getattr(args, "valImgDir", None),
         val_coarse_pkl=getattr(args, "inPklCoarse", None),
+        val_min_size=getattr(args, "valMinSize", 480),
         epoch_save_model=getattr(args, "epochSaveModel", 10),
         n_devices=args.nDevices,
         seed=args.seed,

@@ -55,6 +55,7 @@ def fit(
     val_csv=None,
     val_dir=None,
     val_coarse_pkl=None,
+    val_min_size=480,
     epoch_save_model=10,
     n_devices=1,
     seed=0,
@@ -151,7 +152,7 @@ def fit(
 
         if df is not None:
             prec = validate(df, val_dir, coarse_transforms, params,
-                            kernel_size=kernel_size)
+                            kernel_size=kernel_size, min_size=val_min_size)
             prec8 = float(prec[4])
         else:
             prec = np.zeros(8)
