@@ -5,3 +5,4 @@ from ransacflow_tpu.pipeline.multihomo import (
     multi_homography_predict_fused,
 )
 from ransacflow_tpu.pipeline.api import RansacFlowAligner, init_alignment_params
+from ransacflow_tpu.pipeline.refine import refine_flow_ransac
