@@ -1,0 +1,195 @@
+"""System tests that training LEARNS, not merely descends (round-2 verdict
+item #4): reference behaviors from train/train.py:116-313 reproduced at
+tiny scale on synthetic exactly-translated pairs.
+
+- Stage 1 ('flow'): after ~144 fit() steps on 48px blurred-noise pairs,
+  held-out fine-flow EPE against the KNOWN planted translation drops to
+  well under half its init value. A sign-flipped loss term fails this
+  (measured: lr-negated training leaves EPE at or above init).
+- Stage 3 ('flow+match'): continuing on pairs with an unmatchable noise
+  block pasted into one view, the matchability map separates occluded
+  from matched regions. The SSIM mask is hard-thresholded (no gradient to
+  match — ops/ssim.py:75-76, mirroring model/ssimLoss.py), so separation
+  is driven by the cycle term vs the lambda_match pressure; at this scale
+  the workable window is lambda_match ~0.002 (0.01 saturates match to 1
+  in <100 steps, 0.001 collapses it to 0 — both measured), and the
+  per-snapshot separation oscillates as the flow keeps training, so the
+  assertion averages 4 snapshots taken 48 steps apart after a 240-step
+  burn-in.
+
+Timing note: ~10 min total on the 1-core CI host; by far the slowest
+module, kept CI-default deliberately (it is the only test that would
+catch a wrong-sign loss term).
+"""
+
+import os
+import shutil
+from functools import partial
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from PIL import Image
+from scipy.ndimage import gaussian_filter
+
+from ransacflow_tpu.pipeline import init_alignment_params
+from ransacflow_tpu.train.loop import fit
+from ransacflow_tpu.train.validation import _fine_forward
+from ransacflow_tpu.models.feature_extractor import feature_extractor
+from ransacflow_tpu.models.layers import l2_normalize
+from ransacflow_tpu.models.heads import net_matchability
+from ransacflow_tpu.ops.correlation import correlation_volume
+
+SIZE = 48
+PAD = 12
+BLOCK = 14
+EVAL_MARGIN = 12
+
+
+def _make_canvas(rng):
+    c = rng.rand(SIZE + 2 * PAD, SIZE + 2 * PAD, 3)
+    c = gaussian_filter(c, sigma=(3, 3, 0))
+    c -= c.min()
+    c /= max(c.max(), 1e-6)
+    return c
+
+
+def _translated_pair(rng, t, occlude=None):
+    """I2(p) = I1(p - t) exactly (integer crop of a shared canvas);
+    `occlude` pastes a sharp iid-noise block (unmatchable) into I2."""
+    c = _make_canvas(rng)
+    i1 = c[PAD:PAD + SIZE, PAD:PAD + SIZE].copy()
+    ty, tx = t
+    i2 = c[PAD - ty:PAD - ty + SIZE, PAD - tx:PAD - tx + SIZE].copy()
+    if occlude is not None:
+        oy, ox = occlude
+        i2[oy:oy + BLOCK, ox:ox + BLOCK] = rng.rand(BLOCK, BLOCK, 3)
+    return i1, i2
+
+
+def _write_dataset(root, rng, n_groups, occluded):
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    for g in range(n_groups):
+        t = (int(rng.randint(-5, 6)), int(rng.randint(-5, 6)))
+        occ = None
+        if occluded:
+            occ = (int(rng.randint(8, SIZE - BLOCK - 8)),
+                   int(rng.randint(8, SIZE - BLOCK - 8)))
+        i1, i2 = _translated_pair(rng, t, occ)
+        for v, arr in ((1, i1), (2, i2)):
+            Image.fromarray((arr * 255).astype(np.uint8)).save(
+                os.path.join(root, f"{g}_{v}.jpg"), quality=95)
+
+
+_EVAL_TRANSLATIONS = [(3, -2), (-4, 3), (2, 4), (-3, -3)]
+
+
+def _eval_pairs():
+    rng = np.random.RandomState(7)
+    return [(_translated_pair(rng, t), t) for t in _EVAL_TRANSLATIONS]
+
+
+def _epe(params, pairs):
+    """Mean held-out EPE (px) of the fine flow vs the known translation,
+    via the validation forward with an identity coarse affine."""
+    theta = jnp.asarray(np.eye(2, 3, dtype=np.float32))[None]
+    xs, ys = np.meshgrid(np.arange(SIZE), np.arange(SIZE))
+    m = EVAL_MARGIN
+    es = []
+    for (i1, i2), (ty, tx) in pairs:
+        final = np.asarray(_fine_forward(
+            params, jnp.asarray(i1, jnp.float32)[None],
+            jnp.asarray(i2, jnp.float32)[None], theta)[0])
+        px = (final[..., 0] + 1) * 0.5 * (SIZE - 1)
+        py = (final[..., 1] + 1) * 0.5 * (SIZE - 1)
+        err = np.sqrt((px - (xs - tx)) ** 2 + (py - (ys - ty)) ** 2)
+        es.append(err[m:-m, m:-m].mean())
+    return float(np.mean(es))
+
+
+@partial(jax.jit)
+def _predict_match(params, src, tgt):
+    feats, _ = feature_extractor(params["netFeatCoarse"], src)
+    feats = l2_normalize(feats, axis=-1)
+    featt, _ = feature_extractor(params["netFeatCoarse"], tgt)
+    featt = l2_normalize(featt, axis=-1)
+    corr21 = correlation_volume(featt, feats, 7)
+    match, _ = net_matchability(params["netMatch"], corr21, up8=True)
+    return match
+
+
+def _match_separation(params):
+    """(mean match in occluded blocks, mean match in matched interior)
+    over 4 held-out occluded pairs."""
+    rng = np.random.RandomState(11)
+    ins, outs = [], []
+    for t, occ in [((3, -2), (10, 20)), ((-4, 3), (22, 9)),
+                   ((2, 4), (16, 16)), ((-3, -3), (9, 24))]:
+        i1, i2 = _translated_pair(rng, t, occ)
+        m = np.asarray(_predict_match(
+            params, jnp.asarray(i1, jnp.float32)[None],
+            jnp.asarray(i2, jnp.float32)[None])[0, ..., 0])
+        oy, ox = occ
+        occ_mask = np.zeros((SIZE, SIZE), bool)
+        occ_mask[oy + 2:oy + BLOCK - 2, ox + 2:ox + BLOCK - 2] = True
+        interior = np.zeros((SIZE, SIZE), bool)
+        interior[8:-8, 8:-8] = True
+        ins.append(m[occ_mask & interior].mean())
+        outs.append(m[interior & ~occ_mask].mean())
+    return float(np.mean(ins)), float(np.mean(outs))
+
+
+@pytest.fixture(scope="module")
+def stage1(tmp_path_factory):
+    """144 stage-1 steps (24 epochs x 6 steps) on 24 translated groups."""
+    base = tmp_path_factory.mktemp("learn")
+    data = str(base / "s1_data")
+    _write_dataset(data, np.random.RandomState(42), 24, occluded=False)
+    params = init_alignment_params(jax.random.PRNGKey(0))
+    pairs = _eval_pairs()
+    init_epe = _epe(params, pairs)
+    params, _ = fit(
+        params, data, str(base / "s1_run"), mode="flow", mu_cycle=0.0,
+        epochs=24, batch_size=4, img_size=SIZE, margin=8, lr=5e-4,
+        seed=0, log_every=10**9,
+    )
+    return base, params, init_epe, pairs
+
+
+def test_stage1_learns_alignment(stage1):
+    """EPE vs the planted translations drops decisively (measured 4.44 ->
+    ~1.7 px; a sign-flipped loss leaves it at or above init)."""
+    _, params, init_epe, pairs = stage1
+    trained_epe = _epe(params, pairs)
+    assert init_epe > 3.0  # untrained flow is near zero -> EPE ~ |t|
+    assert trained_epe < 0.55 * init_epe
+
+
+def test_stage3_matchability_separates_occlusion(stage1):
+    """Continue 'flow+match' on occluded pairs: matchability in pasted
+    unmatchable blocks ends below the matched interior (snapshot-averaged;
+    see module docstring for the lambda_match choice)."""
+    base, params, _, _ = stage1
+    data = str(base / "s3_data")
+    _write_dataset(data, np.random.RandomState(43), 24, occluded=True)
+    out = str(base / "s3_run")
+
+    # 240-step burn-in (40 epochs), then 4 snapshots 48 steps apart
+    params, _ = fit(params, data, out, mode="flow+match", mu_cycle=1.0,
+                    lambda_match=0.002, epochs=40, batch_size=4,
+                    img_size=SIZE, margin=8, lr=2e-4, seed=100,
+                    log_every=10**9)
+    seps = []
+    for r in range(4):
+        params, _ = fit(params, data, out, mode="flow+match", mu_cycle=1.0,
+                        lambda_match=0.002, epochs=8, batch_size=4,
+                        img_size=SIZE, margin=8, lr=2e-4, seed=200 + r,
+                        log_every=10**9)
+        occluded, matched = _match_separation(params)
+        seps.append(matched - occluded)
+    # matchability must not have collapsed (0) or saturated (1) everywhere
+    occluded, matched = _match_separation(params)
+    assert 0.02 < matched < 0.999
+    assert np.mean(seps) > 0.02  # measured ~ +0.1
