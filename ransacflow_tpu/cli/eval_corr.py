@@ -38,6 +38,10 @@ def main():
     p.add_argument("--nDevices", type=int, default=None,
                    help="shard pairs over N local devices (device-resident "
                         "multi-homography loop); default: host loop")
+    p.add_argument("--batchPairs", type=int, default=None,
+                   help="with --nDevices: batch same-resized-shape pairs "
+                        "into single multi-homography dispatches (identical "
+                        "artifacts, one dispatch+readback per batch)")
     p.add_argument("--endIndex", type=int, default=None)
 
     r = sub.add_parser("results")
@@ -50,6 +54,10 @@ def main():
     r.add_argument("--th", type=float, default=0.95)
     r.add_argument("--minSize", type=int, default=480)
     r.add_argument("--matchabilityTH", type=float, nargs="+", default=[0.0])
+    r.add_argument("--strictRefBug", action="store_true",
+                   help="reproduce the reference's missing-pair accounting "
+                        "bit-for-bit (evalCorr/getResults.py:275-278), "
+                        "including its loop-variable leak")
 
     args = parser.parse_args()
 
@@ -67,7 +75,7 @@ def main():
             begin_index=args.beginIndex, end_index=args.endIndex,
             bg_mask_fn=None if not args.segNet else
             (lambda row, hw, fn=build_sky_fn(args): fn(row, hw)),
-            n_devices=args.nDevices,
+            n_devices=args.nDevices, batch_pairs=args.batchPairs,
         )
     else:
         from ransacflow_tpu.eval import evaluate_corr, PIXEL_GRID
@@ -76,6 +84,7 @@ def main():
             args.predDir, args.testCSV, args.testDir, dataset=args.dataset,
             min_size=args.minSize, multi_h=args.multiH, th=args.th,
             matchability_th=tuple(args.matchabilityTH),
+            strict_ref_bug=args.strictRefBug,
         )
         print("pixel thresholds:", PIXEL_GRID)
         for mth, (prec, total) in res.items():

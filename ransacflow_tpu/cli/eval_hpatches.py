@@ -40,6 +40,10 @@ def main():
     p.add_argument("--nDevices", type=int, default=None,
                    help="shard pairs over N local devices (device-resident "
                         "multi-homography loop); default: host loop")
+    p.add_argument("--batchPairs", type=int, default=None,
+                   help="with --nDevices: batch same-resized-shape pairs "
+                        "into single multi-homography dispatches (identical "
+                        "artifacts, one dispatch+readback per batch)")
     p.add_argument("--endIndex", type=int, default=None)
 
     r = sub.add_parser("results")
@@ -67,7 +71,7 @@ def main():
             mask_region_th=args.maskRegionTh,
             bg_mask_fn=build_sky_fn(args),
             begin_index=args.beginIndex, end_index=args.endIndex,
-            n_devices=args.nDevices,
+            n_devices=args.nDevices, batch_pairs=args.batchPairs,
         )
     else:
         from ransacflow_tpu.eval import evaluate_hpatches

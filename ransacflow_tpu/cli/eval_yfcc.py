@@ -44,6 +44,10 @@ def main():
     p.add_argument("--nDevices", type=int, default=None,
                    help="shard pairs over a local device pool (keys become "
                         "pair-indexed; artifacts identical for any pool size)")
+    p.add_argument("--batchPairs", type=int, default=None,
+                   help="with --nDevices: batch same-resized-shape pairs "
+                        "into single multi-homography dispatches (identical "
+                        "artifacts, one dispatch+readback per batch)")
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -91,7 +95,8 @@ def main():
             if args.nDevices is not None:
                 pooled_yfcc_predict(
                     pair_pkl, img_dir, out_dir, resnet, align,
-                    args.nDevices, coarse_kwargs, **common,
+                    args.nDevices, coarse_kwargs,
+                    batch_pairs=args.batchPairs, **common,
                 )
             else:
                 predict_yfcc(

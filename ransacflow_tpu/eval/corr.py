@@ -63,6 +63,7 @@ def predict_corr(
     end_index=None,
     bg_mask_fn=None,
     n_devices=None,
+    batch_pairs=None,
 ):
     df = pd.read_csv(csv_path, dtype=str)
     coarse_kwargs = dict(
@@ -92,7 +93,7 @@ def predict_corr(
             gen(), resnet_params, align_params, n_devices, coarse_kwargs,
             save_fn=lambda idx, art: save_pair(out_dir, idx, art),
             max_coarse=max_coarse, mask_region_th=mask_region_th,
-            cycle_match=True,
+            cycle_match=True, batch_pairs=batch_pairs,
         )
         return
 
@@ -122,15 +123,30 @@ def evaluate_corr(
     multi_h=True,
     th=0.95,
     matchability_th=(0.0,),
+    strict_ref_bug=False,
 ):
     """Precision@PIXEL_GRID per matchability threshold.
 
     Returns {mth: (precision (8,), n_points)}.
+
+    strict_ref_bug reproduces the reference's missing-pair accounting
+    bit-for-bit (evaluation/evalCorr/getResults.py:275-278): only th=0's
+    denominator grows, and — because the reference writes
+    ``precAllAlign[0] = precAllAlign[th] + np.zeros(8)`` with ``th`` being
+    the *leaked loop variable* from the previous pair's threshold loop —
+    th=0's numerator is OVERWRITTEN with the last threshold's accumulator.
+    A missing pair before any complete pair raises NameError in the
+    reference; mirrored here. Default (False) adds the missing pair to
+    every threshold's denominator (the documented fix, PARITY.md §2.6).
     """
     df = pd.read_csv(csv_path, dtype=str)
     hits = {m: np.zeros(8) for m in matchability_th}
     total = {m: 0 for m in matchability_th}
     drop_oob = dataset == "MegaDepth"
+    if strict_ref_bug and 0.0 not in matchability_th:
+        # the reference indexes the literal key 0 -> KeyError there too
+        raise KeyError("strict_ref_bug requires 0.0 in matchability_th")
+    th_leak = None  # the reference's leaked `th` loop variable
 
     for idx in range(len(df)):
         row = df.iloc[idx]
@@ -149,8 +165,18 @@ def evaluate_corr(
 
         art = load_pair(pred_dir, idx)
         if art is None:
-            for m in matchability_th:
-                total[m] += len(xs)
+            if strict_ref_bug:
+                if th_leak is None:
+                    raise NameError(
+                        "missing pair before any complete pair: the "
+                        "reference's `th` is undefined here "
+                        "(getResults.py:277)"
+                    )
+                hits[0.0] = hits[th_leak] + np.zeros(8)
+                total[0.0] += len(xs)
+            else:
+                for m in matchability_th:
+                    total[m] += len(xs)
             continue
         h8, w8 = art["fine_flow_down8"].shape[1:3]
         flows, matches = reconstruct_flows(
@@ -175,4 +201,5 @@ def evaluate_corr(
             )[ok]
             hits[m] += (err.reshape(-1, 1) <= PIXEL_GRID.reshape(1, -1)).sum(0)
             total[m] += ok.sum()
+            th_leak = m
     return {m: (hits[m] / max(total[m], 1), total[m]) for m in matchability_th}

@@ -40,6 +40,7 @@ def predict_hpatches(
     begin_index=0,
     end_index=None,
     n_devices=None,
+    batch_pairs=None,
 ):
     """Run prediction for HPatches scenes 1-2..1-6.
 
@@ -87,7 +88,7 @@ def predict_hpatches(
                 gen(), resnet_params, align_params, n_devices, coarse_kwargs,
                 save_fn=lambda idx, art: save_pair(scene_out, idx, art),
                 max_coarse=max_coarse, mask_region_th=mask_region_th,
-                cycle_match=False,
+                cycle_match=False, batch_pairs=batch_pairs,
             )
             continue
 

@@ -116,6 +116,7 @@ def pooled_yfcc_predict(
     end_index=1000,
     bg_mask_fn=None,
     seed=0,
+    batch_pairs=None,
 ):
     """`predict_yfcc` over a local device pool (eval/pooled.py layout).
 
@@ -130,11 +131,20 @@ def pooled_yfcc_predict(
     fold_in(PRNGKey(seed), pair_index), independent of dispatch order.
     (They differ from sequential `predict_yfcc`, whose keys advance one
     aligner's stream — same fitted geometry, different RANSAC draws.)
+
+    batch_pairs > 1 additionally groups pairs whose resized shapes match
+    (post-rotation) into single `_fused_multi_homo_batch` dispatches — same
+    artifacts, one dispatch+readback per batch (eval/pooled.py
+    BatchedMultiHomoDispatcher).
     """
     import jax
     import jax.numpy as jnp
     from ransacflow_tpu.pipeline.multihomo import multi_homography_dispatch
-    from ransacflow_tpu.eval.pooled import make_device_pool, PendingDrain
+    from ransacflow_tpu.eval.pooled import (
+        make_device_pool,
+        PendingDrain,
+        BatchedMultiHomoDispatcher,
+    )
 
     with open(pairs_pkl, "rb") as f:
         pairs = pickle.load(f)
@@ -149,12 +159,25 @@ def pooled_yfcc_predict(
         lambda idx, art, angle: save_pair(out_dir, idx, art,
                                           rotation=np.int32(angle)),
     )
+    batcher = None
+    if batch_pairs and batch_pairs > 1:
+        batcher = BatchedMultiHomoDispatcher(
+            pool, drain, batch_pairs, max_coarse=max_coarse,
+            mask_region_th=mask_region_th, cycle_match=True,
+        )
 
     for k, i in enumerate(range(begin_index, min(end_index, len(pairs)))):
         id_a, id_b = pairs[i]
-        aligner, ap = pool[k % n_devices]
         i_s = Image.open(os.path.join(image_dir, img_list[id_a])).convert("RGB")
         i_t = Image.open(os.path.join(image_dir, img_list[id_b])).convert("RGB")
+        if batcher is not None:
+            # the proxy key fixes the slot BEFORE the rotation pre-test;
+            # 0/180 vs 90/270 winners then land in different shape buckets
+            # on the same slot
+            proxy = (i_s.size, i_t.size)
+            aligner, ap = pool[batcher.slot(proxy)]
+        else:
+            aligner, ap = pool[k % n_devices]
         tgt_path = os.path.join(image_dir, img_list[id_b])
         keys = jax.random.split(jax.random.fold_in(base_key, i), 5)
 
@@ -180,13 +203,19 @@ def pooled_yfcc_predict(
         if bg_mask_fn is not None:
             ht, wt = aligner.tgt_array.shape[:2]
             bg = bg_mask_fn(tgt_path, (ht, wt), angle)
+        if batcher is not None:
+            batcher.add(proxy, i, bg, keys[4], angle)
+            continue
         final, bgf = multi_homography_dispatch(
             aligner, ap, max_coarse=max_coarse,
             mask_region_th=mask_region_th, cycle_match=True, bg_mask=bg,
             key=keys[4],
         )
         drain.add(i, final, bgf, angle)
-    drain.flush()
+    if batcher is not None:
+        batcher.flush()
+    else:
+        drain.flush()
 
 
 def matches_from_flow(flow, match_binary, size_a, size_b, angle):
@@ -243,7 +272,12 @@ def estimate_pose(pts1, pts2, use_ransac=True, threshold=0.0005):
                                        threshold=threshold)
     else:
         E, mask = cv2.findFundamentalMat(pts1, pts2, method=cv2.FM_8POINT)
-    if E is None:
+    # cv2 can emit degenerate output on near-collinear / duplicated
+    # correspondences: None, an empty array, or a (3k, 3) stack with a
+    # malformed row count. Fail soft like the None case — the caller maps
+    # it to a 180-degree pose error (same as the reference's None path).
+    if E is None or E.ndim != 2 or E.shape[0] < 3 or E.shape[0] % 3 != 0 \
+            or E.shape[1] != 3:
         return None
     best = None
     best_inl = 0

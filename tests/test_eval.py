@@ -447,3 +447,112 @@ def test_yfcc_harness_end_to_end(tmp_path, rng, resnet_params, align_params):
     )
     assert len(errors) == 1 and np.isfinite(errors[0])
     assert set(accs) == {"acc5", "acc10", "acc15", "acc20", "mAP"}
+
+
+# ---------------------------------------------------------------------------
+# strict-ref-bug accounting + estimate_pose hardening (round-3 items)
+# ---------------------------------------------------------------------------
+
+
+def _write_corr_accounting_setup(tmp_path, rng):
+    """2-row CSV over a 32px pair; artifact only for row 0, whose left half
+    has low matchability (so th=0.0 and th=0.5 accumulators differ and the
+    reference's loop-variable leak is observable)."""
+    import pandas as pd
+
+    size = 32
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir, exist_ok=True)
+    arr = (rng.rand(size, size, 3) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(img_dir / "a.jpg")
+    Image.fromarray(arr).save(img_dir / "b.jpg")
+    # 2 points in the low-match left half, 2 in the high-match right half
+    xt = np.array([4, 8, 24, 28])
+    yt = np.array([16, 16, 16, 16])
+    row = {
+        "scene": "/", "source_image": "a.jpg", "target_image": "b.jpg",
+        "XA": ";".join(map(str, xt)), "YA": ";".join(map(str, yt)),
+        "XB": ";".join(map(str, xt)), "YB": ";".join(map(str, yt)),
+    }
+    csv_path = str(tmp_path / "pairs.csv")
+    pd.DataFrame([row, dict(row)]).to_csv(csv_path, index=False)
+
+    pred_dir = str(tmp_path / "pred")
+    match = np.ones((1, 4, 4, 2), np.float32)
+    match[:, :, :2, :] = 0.1  # left half unmatchable
+    art = {
+        "coarse_h": np.eye(3, dtype=np.float32)[None],
+        "fine_flow_down8": np.zeros((1, 4, 4, 2), np.float32),
+        "fine_match_down8": match,
+        "bg_mask": np.ones((size, size), np.float32),
+    }
+    save_pair(pred_dir, 0, art)  # row 1 (index 1) stays missing
+    return csv_path, str(img_dir), pred_dir, size
+
+
+def test_corr_strict_ref_bug_accounting(tmp_path, rng):
+    from ransacflow_tpu.eval import evaluate_corr
+
+    csv_path, img_dir, pred_dir, size = _write_corr_accounting_setup(
+        tmp_path, rng)
+    kwargs = dict(min_size=size, matchability_th=(0.0, 0.5))
+
+    fixed = evaluate_corr(pred_dir, csv_path, img_dir, **kwargs)
+    # documented-fix mode: the missing pair grows EVERY denominator
+    np.testing.assert_allclose(fixed[0.0][0], 4 / 8)
+    assert fixed[0.0][1] == 8
+    np.testing.assert_allclose(fixed[0.5][0], 2 / 6)
+    assert fixed[0.5][1] == 6
+
+    strict = evaluate_corr(pred_dir, csv_path, img_dir,
+                           strict_ref_bug=True, **kwargs)
+    # getResults.py:277: th=0's numerator is OVERWRITTEN with the last
+    # threshold's accumulator (2 hits, not 4); only th=0's denominator grows
+    np.testing.assert_allclose(strict[0.0][0], 2 / 8)
+    assert strict[0.0][1] == 8
+    # th>0 denominators do NOT grow on missing pairs in the reference
+    np.testing.assert_allclose(strict[0.5][0], 2 / 2)
+    assert strict[0.5][1] == 2
+
+
+def test_corr_strict_ref_bug_edge_cases(tmp_path, rng):
+    from ransacflow_tpu.eval import evaluate_corr
+
+    csv_path, img_dir, pred_dir, size = _write_corr_accounting_setup(
+        tmp_path, rng)
+    # reference indexes the literal key 0 -> KeyError without it
+    with pytest.raises(KeyError):
+        evaluate_corr(pred_dir, csv_path, img_dir, min_size=size,
+                      matchability_th=(0.5,), strict_ref_bug=True)
+    # missing pair BEFORE any complete pair: the reference's `th` is an
+    # undefined name at getResults.py:277
+    empty_pred = str(tmp_path / "empty_pred")
+    with pytest.raises(NameError):
+        evaluate_corr(empty_pred, csv_path, img_dir, min_size=size,
+                      matchability_th=(0.0, 0.5), strict_ref_bug=True)
+
+
+def test_estimate_pose_degenerate_inputs(rng, monkeypatch):
+    """cv2 edge cases fail soft to None instead of raising
+    (round-2 verdict weak #7)."""
+    # all-identical correspondences: must not raise
+    p = np.tile(np.array([[0.1, 0.2]]), (10, 1))
+    result = estimate_pose(p, p.copy(), use_ransac=True)
+    assert result is None or len(result) == 2
+    # exactly collinear points
+    t = np.linspace(0, 1, 10)
+    col1 = np.stack([t, t], axis=1)
+    col2 = np.stack([t + 0.1, t], axis=1)
+    result = estimate_pose(col1, col2, use_ransac=True)
+    assert result is None or len(result) == 2
+
+    # malformed essential-matrix stacks from cv2 -> None, not a crash
+    import cv2
+
+    for bad_E in (np.ones((4, 3)), np.ones((1, 9)), np.ones((0, 3)),
+                  np.ones(9)):
+        monkeypatch.setattr(
+            cv2, "findEssentialMat",
+            lambda *a, _e=bad_E, **k: (_e, np.ones((10, 1), np.uint8)),
+        )
+        assert estimate_pose(col1, col2, use_ransac=True) is None

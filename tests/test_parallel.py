@@ -94,6 +94,88 @@ def test_pooled_eval_identical_across_pool_sizes(rng):
             np.testing.assert_array_equal(seq[idx][k], pooled[idx][k])
 
 
+def test_pooled_batched_dispatch_bit_identical(rng):
+    """eval/pooled.py BatchedMultiHomoDispatcher: grouping same-resized-shape
+    pairs into `_fused_multi_homo_batch` dispatches must produce artifacts
+    bit-identical to the per-pair pooled path (round-3 VERDICT #5's done
+    criterion). 4 same-shape pairs, batch_pairs=2 -> two batched dispatches."""
+    from PIL import Image
+    from ransacflow_tpu.eval.pooled import pooled_multihomo_predict
+
+    resnet_params = init_resnet50_layer3(jax.random.PRNGKey(0))
+    align_params = init_alignment_params(jax.random.PRNGKey(1))
+
+    h = w = 128
+
+    def blocky(hh, ww):
+        base = (rng.rand(hh // 4, ww // 4, 3) > 0.5).astype(np.float32)
+        img = np.kron(base, np.ones((4, 4, 1), np.float32))[:hh, :ww]
+        return Image.fromarray((img * 255).astype(np.uint8))
+
+    pil_pairs = [(blocky(h, w), blocky(h, w)) for _ in range(4)]
+
+    def run(batch_pairs):
+        arts = {}
+        pooled_multihomo_predict(
+            ((i, s, t, None) for i, (s, t) in enumerate(pil_pairs)),
+            resnet_params, align_params, 2,
+            dict(nb_scale=1, n_iter=512, min_size=h),
+            save_fn=lambda idx, art: arts.__setitem__(idx, art),
+            max_coarse=2, batch_pairs=batch_pairs,
+        )
+        return arts
+
+    per_pair = run(None)
+    batched = run(2)
+    assert set(per_pair.keys()) == set(batched.keys())
+    for idx in per_pair:
+        for k in ("coarse_h", "fine_flow_down8", "fine_match_down8",
+                  "bg_mask"):
+            np.testing.assert_array_equal(per_pair[idx][k], batched[idx][k])
+
+
+def test_pooled_batched_dispatch_mixed_shapes(rng):
+    """Mixed resized shapes land in separate buckets; a leftover singleton
+    takes the per-pair `_fused_multi_homo` fallback at flush. Artifacts stay
+    bit-identical to the per-pair path."""
+    from PIL import Image
+    from ransacflow_tpu.eval.pooled import pooled_multihomo_predict
+
+    resnet_params = init_resnet50_layer3(jax.random.PRNGKey(0))
+    align_params = init_alignment_params(jax.random.PRNGKey(1))
+
+    def blocky(hh, ww):
+        base = (rng.rand(hh // 4, ww // 4, 3) > 0.5).astype(np.float32)
+        img = np.kron(base, np.ones((4, 4, 1), np.float32))[:hh, :ww]
+        return Image.fromarray((img * 255).astype(np.uint8))
+
+    # two square pairs (one full batch) + one wide pair (singleton bucket)
+    pil_pairs = [
+        (blocky(96, 96), blocky(96, 96)),
+        (blocky(96, 96), blocky(96, 96)),
+        (blocky(96, 128), blocky(96, 128)),
+    ]
+
+    def run(batch_pairs):
+        arts = {}
+        pooled_multihomo_predict(
+            ((i, s, t, None) for i, (s, t) in enumerate(pil_pairs)),
+            resnet_params, align_params, 2,
+            dict(nb_scale=1, n_iter=512, min_size=96),
+            save_fn=lambda idx, art: arts.__setitem__(idx, art),
+            max_coarse=2, batch_pairs=batch_pairs,
+        )
+        return arts
+
+    per_pair = run(None)
+    batched = run(2)
+    assert set(per_pair.keys()) == set(batched.keys())
+    for idx in per_pair:
+        for k in ("coarse_h", "fine_flow_down8", "fine_match_down8",
+                  "bg_mask"):
+            np.testing.assert_array_equal(per_pair[idx][k], batched[idx][k])
+
+
 def test_pooled_yfcc_identical_across_pool_sizes(rng, tmp_path):
     """eval/yfcc.py pooled_yfcc_predict: full YFCC prediction (4-rotation
     pre-test + multi-homography loop) over a device pool yields artifacts
@@ -123,22 +205,24 @@ def test_pooled_yfcc_identical_across_pool_sizes(rng, tmp_path):
     with open(pkl, "wb") as f:
         pickle.dump([[0, 1], [2, 3]], f)
 
-    def run(n_devices, tag):
+    def run(n_devices, tag, batch_pairs=None):
         out = tmp_path / f"pred_{tag}"
         pooled_yfcc_predict(
             str(pkl), str(img_dir), str(out),
             resnet_params, align_params, n_devices,
             dict(nb_scale=1, n_iter=512, min_size=h),
-            max_coarse=1, end_index=2,
+            max_coarse=1, end_index=2, batch_pairs=batch_pairs,
         )
         return {i: load_pair(str(out), i) for i in range(2)}
 
     seq = run(1, "p1")
     pooled = run(2, "p2")
-    for idx in seq:
-        assert (seq[idx] is None) == (pooled[idx] is None)
-        if seq[idx] is None:
-            continue
-        assert set(seq[idx].keys()) == set(pooled[idx].keys())
-        for k in seq[idx]:
-            np.testing.assert_array_equal(seq[idx][k], pooled[idx][k])
+    batched = run(2, "b2", batch_pairs=2)
+    for other in (pooled, batched):
+        for idx in seq:
+            assert (seq[idx] is None) == (other[idx] is None)
+            if seq[idx] is None:
+                continue
+            assert set(seq[idx].keys()) == set(other[idx].keys())
+            for k in seq[idx]:
+                np.testing.assert_array_equal(seq[idx][k], other[idx][k])
