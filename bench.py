@@ -103,11 +103,14 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
     coords_b = jnp.stack([x, y], axis=1)
     coords_a = _bank_coords(shapes)
 
+    s2d = bool(os.environ.get("RANSACFLOW_BENCH_S2D"))
+
     def setup(source, target):
         pyr = device_pyramid(source, shapes)
-        feats = [_coarse_feats(resnet_params, im) for im in pyr]
+        feats = [_coarse_feats(resnet_params, im, stem_s2d=s2d)
+                 for im in pyr]
         bank = jnp.concatenate(feats, axis=0)
-        featt = _coarse_feats(resnet_params, target)
+        featt = _coarse_feats(resnet_params, target, stem_s2d=s2d)
         m = mutual_matching(bank.T, featt.T)
         featt_fine = fine_features(align_params, target)
         return (bank, featt, m.src_idx, m.valid, pyr[len(shapes) // 2],
@@ -189,12 +192,19 @@ def main():
     # 30.1 pairs/s)
     batch_mode = os.environ.get("RANSACFLOW_BENCH_MODE", "scan")
 
+    # space-to-depth stem (exact conv1 rewrite): wins in the isolated trunk
+    # bench (9.5 -> 7.25 ms for the 7-scale pyramid) but LOSES end-to-end in
+    # this fused scan program (39.7 -> 31.8 pairs/s measured A/B: the input
+    # relayout to 12 channels breaks the pyramid->preprocess->conv fusion).
+    # Default off; RANSACFLOW_BENCH_S2D=1 to re-measure.
+    stem_s2d = bool(os.environ.get("RANSACFLOW_BENCH_S2D"))
+
     def run(k):
         pyramids = build_pyramids(sources)
         out = fused_align_batch(
             resnet_params, align_params, pyramids, targets,
             jax.random.split(k, N_PAIRS), n_iter=N_ITER,
-            batch_mode=batch_mode,
+            batch_mode=batch_mode, stem_s2d=stem_s2d,
         )
         # one small device->host sync ends the timed region
         return np.asarray(out["num_inliers"])

@@ -69,6 +69,43 @@ def init_resnet50_layer3(key, dtype=jnp.float32):
     return p
 
 
+def _stem_s2d(x, w):
+    """conv1 (7x7, stride 2, pad 3) as a 4x4 stride-1 conv on the 2x2
+    space-to-depth input — the TPU stem layout trick (MLPerf ResNet).
+
+    A 3-channel 960x1280 input leaves the MXU's contraction dimension
+    nearly empty; packing each 2x2 pixel block into 12 channels turns the
+    strided conv into a stride-1 conv with a 4x MXU-denser input. The
+    rewrite is EXACT (same multiply-add set): output(i, j) reads input
+    rows 2i-3..2i+3, i.e. 4 space-to-depth rows with kernel taps
+    ky = 2a + r - 1 (zero where ky falls outside 0..6) and spatial
+    padding (2, 1). Measured: 7-scale pyramid trunk 9.5 -> 7.25 ms fp32
+    on one v5e chip (scripts/bench_trunk.py); max |diff| vs the direct
+    conv 3.6e-7.
+
+    NEGATIVE RESULT end-to-end: inside the fused serving scan program the
+    input relayout (2x2x3 -> 12-channel transpose of every pyramid level)
+    breaks the pyramid->preprocess->conv1 fusion and the headline bench
+    REGRESSES 39.7 -> 31.8 pairs/s (A/B via RANSACFLOW_BENCH_S2D). Kept as
+    an opt-in for trunk-only workloads where it wins; off by default.
+    """
+    from jax import lax
+
+    b, h, wd, _ = x.shape
+    xs = x.reshape(b, h // 2, 2, wd // 2, 2, 3)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 12)
+
+    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # row p holds ky = p-1
+    ws = wp.reshape(4, 2, 4, 2, 3, w.shape[-1]).transpose(0, 2, 1, 3, 4, 5)
+    ws = ws.reshape(4, 4, 12, w.shape[-1])
+
+    return lax.conv_general_dilated(
+        xs.astype(ws.dtype), ws, window_strides=(1, 1),
+        padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def _bottleneck(p, x, stride, train, axis_name):
     stats = {}
     out = conv2d(x, p["conv1"]["weight"], padding=0)
@@ -96,15 +133,24 @@ def _bottleneck(p, x, stride, train, axis_name):
     return jax.nn.relu(out + res), stats
 
 
-def resnet50_layer3(params, x, train=False, axis_name=None):
+def resnet50_layer3(params, x, train=False, axis_name=None, stem_s2d=False):
     """Forward to layer3 features.
 
     Args:
       x: (B, H, W, 3), ImageNet-normalized (use `imagenet_preprocess`).
+      stem_s2d: run conv1 as the exact space-to-depth rewrite (`_stem_s2d`)
+        — opt-in, wins trunk-only workloads but loses inside the fused
+        serving program (see `_stem_s2d`); default off, which is also
+        bit-level parity with the torch goldens (the rewrite reassociates
+        fp sums). Requires even H and W (all stride-16-floored pipeline
+        shapes are).
     Returns (feat, stats): feat is (B, H/16, W/16, 1024).
     """
     stats = {}
-    out = conv2d(x, params["conv1"]["weight"], stride=2, padding=3)
+    if stem_s2d:
+        out = _stem_s2d(x, params["conv1"]["weight"])
+    else:
+        out = conv2d(x, params["conv1"]["weight"], stride=2, padding=3)
     out, s = batch_norm(out, params["bn1"], train, axis_name)
     if s:
         stats["bn1"] = s

@@ -33,10 +33,16 @@ from ransacflow_tpu.utils.image import (
 )
 
 
-@jax.jit
-def _coarse_feats(params, img):
-    """img (1, H, W, 3) in [0,1] -> L2-normalized (H/16 * W/16, 1024)."""
-    feat, _ = resnet50_layer3(params, imagenet_preprocess(img))
+@partial(jax.jit, static_argnames=("stem_s2d",))
+def _coarse_feats(params, img, stem_s2d=False):
+    """img (1, H, W, 3) in [0,1] -> L2-normalized (H/16 * W/16, 1024).
+
+    stem_s2d: exact space-to-depth conv1 rewrite (models/resnet50.py
+    `_stem_s2d`) — opt-in (wins trunk-only benches, loses in the fused
+    serving program); off = bit-level torch parity.
+    """
+    feat, _ = resnet50_layer3(params, imagenet_preprocess(img),
+                              stem_s2d=stem_s2d)
     feat = l2_normalize(feat, axis=-1)  # per spatial location, channel dim
     _, fh, fw, c = feat.shape
     return feat.reshape(fh * fw, c)
@@ -98,6 +104,10 @@ class CoarseAligner:
       device: optional jax.Device to pin this aligner's arrays to — pass
         per-device-placed resnet_params with it (see eval/pooled.py for
         the multi-device eval pool this enables).
+      stem_s2d: run the trunk's conv1 as the exact space-to-depth rewrite
+        (models/resnet50.py `_stem_s2d`) — opt-in; reassociates fp sums,
+        keep off for bit-level parity runs (and see the negative
+        end-to-end result in its docstring).
     """
 
     def __init__(
@@ -114,9 +124,11 @@ class CoarseAligner:
         polish_fp64=True,
         seed=0,
         device=None,
+        stem_s2d=False,
     ):
         self.params = resnet_params
         self.device = device
+        self.stem_s2d = bool(stem_s2d)
         self.n_iter = int(n_iter)
         self.tolerance = float(tolerance)
         self.transform = transform
@@ -172,7 +184,8 @@ class CoarseAligner:
         self.src_array = to_array(self.src_img)
         for im in imgs:
             arr = to_array(im)
-            f = _coarse_feats(self.params, self._put(arr)[None])
+            f = _coarse_feats(self.params, self._put(arr)[None],
+                              stem_s2d=self.stem_s2d)
             fh, fw = arr.shape[0] // STRIDE_NET, arr.shape[1] // STRIDE_NET
             y, x = feature_cell_coords(fh, fw)
             feats.append(f)
@@ -187,7 +200,10 @@ class CoarseAligner:
         """Extract target features and (unless rematch mode) cache matches."""
         self.tgt_img = self._resize(img, self.min_size)
         self.tgt_array = to_array(self.tgt_img)
-        self._featt = _coarse_feats(self.params, self._put(self.tgt_array)[None])
+        self._featt = _coarse_feats(
+            self.params, self._put(self.tgt_array)[None],
+            stem_s2d=self.stem_s2d,
+        )
         self.feat_h = self.tgt_array.shape[0] // STRIDE_NET
         self.feat_w = self.tgt_array.shape[1] // STRIDE_NET
         y, x = feature_cell_coords(self.feat_h, self.feat_w)

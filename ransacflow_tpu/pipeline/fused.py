@@ -53,20 +53,26 @@ def _bank_coords(pyramid_shapes, stride=16):
     return jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=1)
 
 
-def _coarse_match(resnet_params, pyramid, target):
+def _coarse_match(resnet_params, pyramid, target, stem_s2d=False):
     """Coarse features + mutual matching for one pair.
 
     Returns (m1, m2, valid): homogeneous match arrays keyed by target cell
     (fixed shape — padded/invalid rows masked by `valid`).
+
+    stem_s2d runs the trunk's conv1 as the exact space-to-depth rewrite
+    (models/resnet50.py `_stem_s2d`): wins trunk-only benches but loses
+    inside this fused program (see the _stem_s2d docstring) — default off.
     """
     feats = []
     for img in pyramid:
-        f, _ = resnet50_layer3(resnet_params, imagenet_preprocess(img))
+        f, _ = resnet50_layer3(resnet_params, imagenet_preprocess(img),
+                               stem_s2d=stem_s2d)
         feats.append(l2_normalize(f, axis=-1).reshape(-1, f.shape[-1]))
     bank = jnp.concatenate(feats, axis=0)  # (nA, 1024)
     coords_a = _bank_coords([img.shape[1:3] for img in pyramid])
 
-    ft, _ = resnet50_layer3(resnet_params, imagenet_preprocess(target))
+    ft, _ = resnet50_layer3(resnet_params, imagenet_preprocess(target),
+                            stem_s2d=stem_s2d)
     ft = l2_normalize(ft, axis=-1)
     fh, fw = ft.shape[1:3]
     featt = ft.reshape(-1, ft.shape[-1])  # (nB, 1024)
@@ -83,7 +89,7 @@ def _coarse_match(resnet_params, pyramid, target):
 
 @partial(
     jax.jit,
-    static_argnames=("n_iter", "kernel_size", "cycle_match"),
+    static_argnames=("n_iter", "kernel_size", "cycle_match", "stem_s2d"),
 )
 def fused_align(
     resnet_params,
@@ -95,6 +101,7 @@ def fused_align(
     n_iter=10000,
     kernel_size=7,
     cycle_match=True,
+    stem_s2d=False,
 ):
     """Align one pair entirely on device.
 
@@ -107,7 +114,8 @@ def fused_align(
     Returns dict: 'H21' (3,3), 'found' (), 'num_inliers' (), 'flow'
     (1,Ht,Wt,2), 'match' (Ht,Wt), 'flow_down8', 'match_down8'.
     """
-    m1, m2, valid = _coarse_match(resnet_params, pyramid, target)
+    m1, m2, valid = _coarse_match(resnet_params, pyramid, target,
+                                  stem_s2d=stem_s2d)
     res = ransac_homography(
         key, m1, m2, valid, tolerance, n_iter=n_iter
     )
@@ -153,7 +161,8 @@ def _fine_with_gate(align_params, pyramid, target, res, cycle_match,
 
 @partial(
     jax.jit,
-    static_argnames=("n_iter", "kernel_size", "cycle_match", "batch_mode"),
+    static_argnames=("n_iter", "kernel_size", "cycle_match", "batch_mode",
+                     "stem_s2d"),
 )
 def fused_align_batch(
     resnet_params,
@@ -166,6 +175,7 @@ def fused_align_batch(
     kernel_size=7,
     cycle_match=True,
     batch_mode="scan",
+    stem_s2d=False,
 ):
     """Run `fused_align` over a batch of pairs resident on device.
 
@@ -187,7 +197,7 @@ def fused_align_batch(
     def one(pyr, tgt, k):
         return fused_align(
             resnet_params, align_params, tuple(pyr), tgt, k,
-            tolerance, n_iter, kernel_size, cycle_match,
+            tolerance, n_iter, kernel_size, cycle_match, stem_s2d,
         )
 
     if batch_mode == "vmap":
@@ -195,7 +205,8 @@ def fused_align_batch(
 
     if batch_mode == "hybrid":
         m1, m2, valid = jax.vmap(
-            lambda pyr, tgt: _coarse_match(resnet_params, tuple(pyr), tgt)
+            lambda pyr, tgt: _coarse_match(resnet_params, tuple(pyr), tgt,
+                                           stem_s2d=stem_s2d)
         )(tuple(pyramids), targets)
 
         def r_body(_, inp):

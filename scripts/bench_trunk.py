@@ -32,34 +32,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import numpy as np
 
 
-def s2d_stem(x, w):
-    """Exact rewrite of conv1 (7x7, stride 2, pad 3) as a 4x4 stride-1 conv
-    on the 2x2 space-to-depth input. Same multiply-add set as the original:
-    output(i,j) pulls input rows 2i-3..2i+3; in space-to-depth coords those
-    are 4 rows of 2x2x3=12 channels with kernel taps ky = 2a + r - 1
-    (zero-padded where ky falls outside 0..6) and spatial padding (2, 1).
-    """
-    import jax.numpy as jnp
-    from jax import lax
-
-    _, h, wd, _ = x.shape
-    xs = x.reshape(1, h // 2, 2, wd // 2, 2, 3)
-    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(1, h // 2, wd // 2, 12)
-
-    wp = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # ky = p - 1
-    ws = wp.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
-    ws = ws.reshape(4, 4, 12, 64)
-
-    return lax.conv_general_dilated(
-        xs.astype(ws.dtype), ws, window_strides=(1, 1),
-        padding=((2, 1), (2, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--only", type=str, default=None,
+                    help="substring filter on stage names")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +45,7 @@ def main():
     from ransacflow_tpu.models import init_resnet50_layer3, cast_params
     from ransacflow_tpu.models.resnet50 import (
         resnet50_layer3, imagenet_preprocess, _bottleneck, _LAYERS,
+        _stem_s2d as s2d_stem,
     )
     from ransacflow_tpu.models.layers import conv2d, batch_norm, max_pool
 
@@ -96,6 +74,9 @@ def main():
         return out
 
     def timed(name, fn):
+        if args.only and args.only not in name:
+            return
+
         def make(n):
             @jax.jit
             def run(key):

@@ -25,6 +25,8 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--s2d", action="store_true",
+                    help="run the trunk stem as the space-to-depth rewrite")
     args = ap.parse_args()
 
     import jax
@@ -51,18 +53,18 @@ def main():
 
     def upto_match(k):
         pyr = device_pyramid(src + 0 * k[0].astype(src.dtype), shapes)
-        m1, m2, valid = _coarse_match(resnet_params, pyr, tgt)
+        m1, m2, valid = _coarse_match(resnet_params, pyr, tgt, stem_s2d=args.s2d)
         return jnp.sum(m1) + jnp.sum(valid)
 
     def upto_ransac(k):
         pyr = device_pyramid(src + 0 * k[0].astype(src.dtype), shapes)
-        m1, m2, valid = _coarse_match(resnet_params, pyr, tgt)
+        m1, m2, valid = _coarse_match(resnet_params, pyr, tgt, stem_s2d=args.s2d)
         res = ransac_homography(k, m1, m2, valid, 0.05, n_iter=N_ITER)
         return res.num_inliers
 
     def full(k):
         pyr = device_pyramid(src + 0 * k[0].astype(src.dtype), shapes)
-        m1, m2, valid = _coarse_match(resnet_params, pyr, tgt)
+        m1, m2, valid = _coarse_match(resnet_params, pyr, tgt, stem_s2d=args.s2d)
         res = ransac_homography(k, m1, m2, valid, 0.05, n_iter=N_ITER)
         out = _fine_with_gate(align_params, pyr, tgt, res, True, 7)
         return out["num_inliers"] + jnp.sum(out["flow_down8"])

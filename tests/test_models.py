@@ -289,3 +289,33 @@ def test_train_mode_bn_matches_torch(rng):
         tm.bn1.running_var.detach().numpy(),
         atol=1e-5,
     )
+
+
+def test_stem_s2d_exact_rewrite(rng):
+    """The space-to-depth stem (models/resnet50.py `_stem_s2d`) is an exact
+    rewrite of conv1: same trunk output to fp tolerance, and the raw stem
+    output matches torch's conv2d(stride=2, padding=3) directly."""
+    import jax
+    from ransacflow_tpu.models import init_resnet50_layer3
+    from ransacflow_tpu.models.resnet50 import (
+        resnet50_layer3, _stem_s2d, imagenet_preprocess,
+    )
+
+    params = init_resnet50_layer3(jax.random.PRNGKey(0))
+    w = params["conv1"]["weight"]
+
+    for h, wd in ((64, 96), (48, 48)):
+        x = jnp.asarray(rng.rand(1, h, wd, 3).astype(np.float32))
+        gold = F.conv2d(
+            torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2),
+            torch.from_numpy(np.asarray(w)).permute(3, 2, 0, 1),
+            stride=2, padding=3,
+        ).permute(0, 2, 3, 1).numpy()
+        got = np.asarray(_stem_s2d(x, w))
+        np.testing.assert_allclose(got, gold, atol=1e-5)
+
+    x = jnp.asarray(rng.rand(1, 64, 96, 3).astype(np.float32))
+    ref, _ = resnet50_layer3(params, imagenet_preprocess(x))
+    s2d, _ = resnet50_layer3(params, imagenet_preprocess(x), stem_s2d=True)
+    np.testing.assert_allclose(np.asarray(s2d), np.asarray(ref),
+                               atol=2e-4, rtol=1e-3)
