@@ -135,7 +135,7 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
 
     counts = run()  # compile + warm
     elapsed = float("inf")
-    for _ in range(2):  # best-of-2: the dev tunnel adds run-to-run jitter
+    for _ in range(3):  # best-of-3: the dev tunnel adds run-to-run jitter
         t0 = time.perf_counter()
         counts = run()
         elapsed = min(elapsed, time.perf_counter() - t0)
@@ -211,7 +211,7 @@ def main():
 
     run(jax.random.PRNGKey(3))  # compile + warm
     elapsed = float("inf")
-    for s in (4, 5):  # best-of-2: the dev tunnel adds run-to-run jitter
+    for s in (4, 5, 6):  # best-of-3: the dev tunnel adds run-to-run jitter
         t0 = time.perf_counter()
         run(jax.random.PRNGKey(s))
         elapsed = min(elapsed, time.perf_counter() - t0)

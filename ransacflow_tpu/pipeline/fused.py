@@ -191,6 +191,10 @@ def fused_align_batch(
         round-2 gather optimizations 'scan' wins outright at the default
         10k iters (41.4 vs 23.5 pairs/s measured; the batched full-res
         fine stage is HBM-pressure-bound), so 'scan' is the default.
+        'chunk<k>' scans over chunks of k pairs with the trunk+matching
+        vmapped inside the chunk (conv batching on the MXU) while RANSAC
+        and the fine stage stream pair-at-a-time; 'chunkv<k>' vmaps the
+        whole chunk. Both bound the live HBM set to k pairs instead of K.
     Returns dict of stacked outputs (leading axis K).
     """
 
@@ -222,6 +226,51 @@ def fused_align_batch(
                 align_params, tuple(pyr), tgt, r, cycle_match, kernel_size
             )
         )(tuple(pyramids), targets, res)
+
+    if batch_mode.startswith("chunk"):
+        spec = batch_mode[5:]
+        full_vmap = spec.startswith("v")
+        c = int(spec[1:] if full_vmap else spec)
+        n = targets.shape[0]
+        if n % c:
+            raise ValueError(
+                f"batch_mode {batch_mode!r} needs the pair count ({n}) "
+                f"divisible by the chunk size ({c})"
+            )
+
+        def chunked(x):
+            return x.reshape((n // c, c) + x.shape[1:])
+
+        pyr_c = tuple(chunked(p) for p in pyramids)
+        tgt_c, keys_c = chunked(targets), chunked(keys)
+
+        def chunk_body(_, inp):
+            pyr, tgt, ks = inp
+            if full_vmap:
+                return None, jax.vmap(one)(tuple(pyr), tgt, ks)
+
+            m1, m2, valid = jax.vmap(
+                lambda py, t: _coarse_match(
+                    resnet_params, tuple(py), t, stem_s2d=stem_s2d
+                )
+            )(tuple(pyr), tgt)
+
+            def rf_body(_, i2):
+                k, a, b, v, py, t = i2
+                res = ransac_homography(k, a, b, v, tolerance, n_iter=n_iter)
+                return None, _fine_with_gate(
+                    align_params, tuple(py), t, res, cycle_match, kernel_size
+                )
+
+            _, outs = jax.lax.scan(
+                rf_body, None, (ks, m1, m2, valid, tuple(pyr), tgt)
+            )
+            return None, outs
+
+        _, outs = jax.lax.scan(chunk_body, None, (pyr_c, tgt_c, keys_c))
+        return jax.tree.map(
+            lambda x: x.reshape((n,) + x.shape[2:]), outs
+        )
 
     if batch_mode != "scan":
         raise ValueError(f"unknown batch_mode: {batch_mode!r}")
