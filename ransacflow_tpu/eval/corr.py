@@ -114,6 +114,32 @@ def predict_corr(
             save_pair(out_dir, idx, pred)
 
 
+def pair_precision_hits(flow, match_agg, m, xs, ys, xt, yt, ws, hs):
+    """One pair's precision accounting: hits per PIXEL_GRID threshold and
+    the denominator count (reference getResults.py:15-38 ``alignmentError``
+    + the matchability gate of the loop at :272-280; golden-tested against
+    the reference's own executing function in
+    tests/test_reference_metrics.py).
+
+    Returns (hits (8,), n_points). Indices are clipped into bounds — the
+    reference indexes raw and relies on its upstream OOB-dropping; clipping
+    is a no-op on in-bounds data.
+    """
+    xb = np.clip(xt.astype(np.int64), 0, flow.shape[1] - 1)
+    yb = np.clip(yt.astype(np.int64), 0, flow.shape[0] - 1)
+    if m > 0:
+        ok = match_agg[yb, xb] >= m
+    else:
+        ok = np.ones(len(xb), bool)
+    sx = (flow[yb, xb, 0] + 1) * 0.5 * (ws - 1)
+    sy = (flow[yb, xb, 1] + 1) * 0.5 * (hs - 1)
+    err = np.sqrt(
+        (sx - xs.astype(np.int64)) ** 2 + (sy - ys.astype(np.int64)) ** 2
+    )[ok]
+    hits = (err.reshape(-1, 1) <= PIXEL_GRID.reshape(1, -1)).sum(0)
+    return hits, int(ok.sum())
+
+
 def evaluate_corr(
     pred_dir,
     csv_path,
@@ -187,19 +213,9 @@ def evaluate_corr(
                                aggregate_match=True)
         flow, magg = merged["flow"], merged["match"]
 
-        xb = np.clip(xt.astype(np.int64), 0, flow.shape[1] - 1)
-        yb = np.clip(yt.astype(np.int64), 0, flow.shape[0] - 1)
         for m in matchability_th:
-            if m > 0:
-                ok = magg[yb, xb] >= m
-            else:
-                ok = np.ones(len(xb), bool)
-            sx = (flow[yb, xb, 0] + 1) * 0.5 * (ws - 1)
-            sy = (flow[yb, xb, 1] + 1) * 0.5 * (hs - 1)
-            err = np.sqrt(
-                (sx - xs.astype(np.int64)) ** 2 + (sy - ys.astype(np.int64)) ** 2
-            )[ok]
-            hits[m] += (err.reshape(-1, 1) <= PIXEL_GRID.reshape(1, -1)).sum(0)
-            total[m] += ok.sum()
+            h, n = pair_precision_hits(flow, magg, m, xs, ys, xt, yt, ws, hs)
+            hits[m] += h
+            total[m] += n
             th_leak = m
     return {m: (hits[m] / max(total[m], 1), total[m]) for m in matchability_th}

@@ -70,3 +70,58 @@ def load_reference_modules():
         "ssim": ssim,
         "model": model,
     }
+
+
+def extract_reference_functions(relpath, names, extra_globals=None):
+    """AST-extract named top-level functions from a reference SCRIPT.
+
+    The evaluation getResults.py files cannot be imported: they run an
+    argparse + dataset main loop at module top level and import packages
+    absent from this image (kornia, torchvision, pandas, sklearn). Their
+    *metric functions*, however, are pure numpy/torch/cv2/scipy — so we
+    parse the file, keep only the requested ``def`` nodes, and exec just
+    those in a controlled namespace (same untrusted-content posture as
+    `load_reference_modules`: only audited functions are executed, on
+    tensors the tests construct).
+
+    Returns {name: function}.
+    """
+    import ast
+
+    import numpy as np
+
+    path = os.path.join(REF_ROOT, relpath)
+    with open(path) as f:
+        tree = ast.parse(f.read())
+    found = {
+        node.name: node
+        for node in tree.body
+        if isinstance(node, ast.FunctionDef) and node.name in names
+    }
+    missing = set(names) - set(found)
+    if missing:
+        raise KeyError(f"{relpath}: functions not found: {sorted(missing)}")
+    module = ast.Module(
+        body=[found[n] for n in names], type_ignores=[]
+    )
+    code = compile(module, path, "exec")
+    ns = {"np": np, "numpy": np, "torch": torch}
+    ns.update(extra_globals or {})
+    exec(code, ns)
+    return {n: ns[n] for n in names}
+
+
+class skimage_measure_shim:
+    """Stand-in for `skimage.measure` (not installed): `label` with
+    skimage's 2-D defaults (full 8-connectivity, background=0), built on
+    scipy.ndimage. The reference's cc functions only iterate unique labels,
+    so label *order* differences cannot matter."""
+
+    @staticmethod
+    def label(x, background=0):
+        import numpy as np
+        from scipy import ndimage
+
+        assert background == 0
+        labels, _ = ndimage.label(x, structure=np.ones((3,) * x.ndim))
+        return labels

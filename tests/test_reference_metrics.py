@@ -1,0 +1,398 @@
+"""Direct-execution goldens for the reference's harness METRIC functions.
+
+The evaluation getResults.py scripts cannot be imported (top-level argparse
+main loops; kornia/torchvision/pandas/sklearn imports absent from this
+image), so `ref_modules.extract_reference_functions` AST-extracts the pure
+numpy/torch/cv2/scipy metric functions and executes exactly those. This
+extends the round-3 direct-execution goldens (tests/test_reference_golden.py
+covers ops+models; tests/test_reference_harness.py the HPatches loop) to the
+KITTI / Corr / YFCC metric passes:
+
+- evalCorr/getResults.py:15-38   alignmentError   vs eval/corr.pair_precision_hits
+- evalKITTI/getResults.py:17-24  readFlow         vs eval/kitti.read_kitti_flow
+- evalKITTI/getResults.py:26-39  get_imgsize      vs utils/image.resize_round_stride
+- evalKITTI/getResults.py:66-86  remove_small_cc  vs eval/compose.remove_small_cc
+- evalKITTI/getResults.py:87-93  interpolate_flow_match vs eval/compose.fill_flow_nearest
+- evalYFCC/getResults.py:20-27   getResizedSize   vs utils/image.min_size_shape_wh
+- evalYFCC/getResults.py:29-50   norm_kp          vs eval/yfcc.norm_kp
+- evalYFCC/getResults.py:53-71   matches_from_flow vs eval/yfcc.matches_from_flow
+- evalYFCC/getResults.py:75-111  opencv_decompose vs eval/yfcc.estimate_pose
+- evalYFCC/getResults.py:114-129 evaluate_R_t     vs eval/yfcc.pose_error
+
+skimage.measure is the one dependency genuinely absent from this image; the
+cc golden substitutes `ref_modules.skimage_measure_shim` (scipy full
+8-connectivity labeling = skimage's 2-D default) — the component-iteration
+logic around it is the reference's own.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+from ref_modules import (
+    extract_reference_functions,
+    reference_available,
+    skimage_measure_shim,
+)
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference tree not mounted"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_corr():
+    return extract_reference_functions(
+        "evaluation/evalCorr/getResults.py", ["alignmentError"]
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_kitti():
+    import cv2
+    from scipy import ndimage as nd
+
+    return extract_reference_functions(
+        "evaluation/evalKITTI/getResults.py",
+        ["readFlow", "get_imgsize", "remove_small_cc",
+         "interpolate_flow_match"],
+        extra_globals={"cv2": cv2, "nd": nd,
+                       "measure": skimage_measure_shim},
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_yfcc():
+    import cv2
+
+    return extract_reference_functions(
+        "evaluation/evalYFCC/getResults.py",
+        ["getResizedSize", "norm_kp", "matches_from_flow",
+         "opencv_decompose", "evaluate_R_t"],
+        extra_globals={"cv2": cv2},
+    )
+
+
+# ---------------------------------------------------------------- Corr
+
+
+@pytest.mark.parametrize("m", [0.0, 0.95])
+def test_ref_corr_alignment_error(ref_corr, rng, m):
+    from ransacflow_tpu.eval.corr import PIXEL_GRID, pair_precision_hits
+
+    hb, wb, ha, wa = 40, 56, 48, 64
+    n = 300
+    flow = rng.uniform(-1.05, 1.05, (hb, wb, 2)).astype(np.float32)
+    magg = rng.rand(hb, wb).astype(np.float32)
+    xs = rng.uniform(0, wa - 1, n)
+    ys = rng.uniform(0, ha - 1, n)
+    xt = rng.uniform(0, wb - 1, n)
+    yt = rng.uniform(0, hb - 1, n)
+
+    # the reference thresholds a pre-binarized mask at 0.5; ours gates the
+    # aggregated matchability at m — identical iff binary = (magg >= m)
+    binary = (
+        torch.ones(1, 1, hb, wb)
+        if m == 0
+        else torch.from_numpy((magg >= m).astype(np.float32))[None, None]
+    )
+    ref_hits, ref_n = ref_corr["alignmentError"](
+        wb, hb, wa, ha, xs, ys, xt, yt,
+        torch.from_numpy(flow)[None], binary,
+        PIXEL_GRID.reshape(1, -1),
+    )
+    got_hits, got_n = pair_precision_hits(
+        flow, magg, m, xs, ys, xt, yt, wa, ha
+    )
+    assert got_n == ref_n
+    np.testing.assert_array_equal(got_hits, ref_hits)
+
+
+def test_ref_corr_alignment_error_empty(ref_corr):
+    """Zero matched points -> zero hits row, zero denominator."""
+    from ransacflow_tpu.eval.corr import PIXEL_GRID, pair_precision_hits
+
+    hb = wb = 16
+    flow = np.zeros((hb, wb, 2), np.float32)
+    magg = np.zeros((hb, wb), np.float32)
+    xt = np.array([3.0]); yt = np.array([5.0])
+    xs = np.array([2.0]); ys = np.array([9.0])
+    ref_hits, ref_n = ref_corr["alignmentError"](
+        wb, hb, wb, hb, xs, ys, xt, yt,
+        torch.zeros(1, hb, wb, 2), torch.zeros(1, 1, hb, wb),
+        PIXEL_GRID.reshape(1, -1),
+    )
+    got_hits, got_n = pair_precision_hits(
+        flow, magg, 0.95, xs, ys, xt, yt, wb, hb
+    )
+    assert ref_n == 0 and got_n == 0
+    np.testing.assert_array_equal(got_hits, ref_hits)
+
+
+# --------------------------------------------------------------- KITTI
+
+
+def test_ref_kitti_read_flow(ref_kitti, rng, tmp_path):
+    import cv2
+
+    raw = rng.randint(0, 2 ** 16, (24, 32, 3)).astype(np.uint16)
+    raw[:, :, 0] = rng.randint(0, 2, (24, 32))  # valid channel
+    path = str(tmp_path / "000000_10.png")
+    assert cv2.imwrite(path, raw)
+
+    from ransacflow_tpu.eval.kitti import read_kitti_flow
+
+    ref_u, ref_v, ref_valid = ref_kitti["readFlow"](path)
+    u, v, valid = read_kitti_flow(path)
+    np.testing.assert_array_equal(u, ref_u)
+    np.testing.assert_array_equal(v, ref_v)
+    np.testing.assert_array_equal(valid, ref_valid)
+
+
+def test_ref_kitti_get_imgsize(ref_kitti):
+    """The KITTI shape rule ROUNDS to stride (vs the floor of the HPatches
+    rule); our resize_round_stride implements exactly it."""
+    from PIL import Image
+
+    from ransacflow_tpu.utils.image import resize_round_stride
+
+    for (w, h) in [(1242, 375), (1226, 370), (640, 480), (500, 375),
+                   (401, 399)]:
+        ref_w, ref_h = ref_kitti["get_imgsize"](w, h, 16, minSize=400)
+        img = resize_round_stride(Image.new("RGB", (w, h)), 400, 16)
+        assert img.size == (ref_w, ref_h), (w, h)
+
+
+def test_ref_kitti_remove_small_cc(ref_kitti, rng):
+    from ransacflow_tpu.eval.compose import remove_small_cc
+
+    # blobby matchability maps: threshold smooth noise so real connected
+    # components of mixed sizes appear
+    from scipy import ndimage
+
+    match = np.stack([
+        ndimage.gaussian_filter(rng.rand(48, 64).astype(np.float32), 3)
+        for _ in range(3)
+    ])
+    match = (match - match.min()) / (match.max() - match.min())
+    # the reference binarizes at match_th=0.99; rescale so some pixels pass
+    match = 0.9 + 0.2 * match
+    cc_th = 0.01
+
+    ref_out = ref_kitti["remove_small_cc"](
+        torch.from_numpy(match.copy())[:, None], cc_th
+    )
+    got = np.stack([remove_small_cc(m, cc_th) for m in match])
+    np.testing.assert_allclose(got, ref_out.squeeze(1).numpy(), atol=0)
+
+
+def test_ref_kitti_interpolate_flow_match(ref_kitti, rng):
+    from ransacflow_tpu.eval.compose import fill_flow_nearest
+
+    h, w = 30, 40
+    flow = rng.uniform(-1, 1, (h, w, 2)).astype(np.float32)
+    match = rng.rand(h, w) > 0.8
+
+    ref_out = ref_kitti["interpolate_flow_match"](
+        torch.from_numpy(flow)[None], torch.from_numpy(match)[None, None]
+    )
+    got = fill_flow_nearest(flow, match)
+    np.testing.assert_array_equal(got, ref_out.squeeze(0).numpy())
+
+
+# ---------------------------------------------------------------- YFCC
+
+
+def test_ref_yfcc_resized_size(ref_yfcc):
+    from ransacflow_tpu.utils.image import min_size_shape_wh
+
+    for size in [(1024, 768), (768, 1024), (997, 1003), (480, 480),
+                 (3264, 2448)]:
+        assert min_size_shape_wh(size, 480, 16) == \
+            ref_yfcc["getResizedSize"](480, size, 16)
+
+
+def test_ref_yfcc_norm_kp(ref_yfcc, rng):
+    from ransacflow_tpu.eval.yfcc import norm_kp
+
+    K = np.array([[920.0, 0, 12.3], [0, 890.0, -4.2], [0, 0, 1]])
+    kp = rng.uniform(0, 1000, (50, 2))
+    got = norm_kp((1024, 768), (640, 480), K, kp)
+    ref = ref_yfcc["norm_kp"]((1024, 768), (640, 480), K, kp)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("angle,size_b", [(0, (40, 30)), (90, (40, 30)),
+                                          (180, (32, 32)), (270, (32, 32))])
+def test_ref_yfcc_matches_from_flow(ref_yfcc, rng, angle, size_b):
+    from ransacflow_tpu.eval.yfcc import matches_from_flow
+
+    wb, hb = size_b
+    # rotated-frame shapes: rot90 by an odd k transposes the grid
+    gh, gw = (wb, hb) if (angle // 90) % 2 else (hb, wb)
+    flow = rng.uniform(-1, 1, (gh, gw, 2)).astype(np.float64)
+    match = rng.rand(gh, gw) > 0.6
+    size_a = (64, 48)
+
+    # the reference mutates flowFine in place (getResults.py:68-69) — feed
+    # it a copy so both sides see the same input
+    ref_p1, ref_p2 = ref_yfcc["matches_from_flow"](
+        flow.copy(), match.astype(np.float32), size_a, size_b, angle
+    )
+    p1, p2 = matches_from_flow(flow, match, size_a, size_b, angle)
+    np.testing.assert_array_equal(p1, ref_p1)
+    np.testing.assert_array_equal(p2, ref_p2)
+
+
+def test_ref_yfcc_evaluate_r_t(ref_yfcc, rng):
+    import cv2
+
+    from ransacflow_tpu.eval.yfcc import pose_error
+
+    for _ in range(5):
+        r1, _ = cv2.Rodrigues(rng.uniform(-1, 1, 3))
+        r2, _ = cv2.Rodrigues(rng.uniform(-1, 1, 3))
+        t1 = rng.uniform(-1, 1, (3, 1))
+        t2 = rng.uniform(-1, 1, (3, 1))
+        ref_q, ref_t = ref_yfcc["evaluate_R_t"](r1, t1, r2, t2)
+        got_q, got_t = pose_error(r1, t1, r2, t2)
+        # ours clips the arccos operand (reference NaNs on |trace| rounding
+        # past the domain edge); away from the edges they are identical
+        np.testing.assert_allclose(got_q, ref_q, rtol=0, atol=1e-12)
+        np.testing.assert_allclose(got_t, ref_t, rtol=0, atol=1e-12)
+
+
+def _two_view_correspondences(rng, n=300, noise=0.0):
+    """Synthetic calibrated two-view geometry in normalized image coords."""
+    import cv2
+
+    pts3 = np.stack([
+        rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), rng.uniform(4, 8, n)
+    ], axis=1)
+    rvec = np.array([0.05, -0.1, 0.02])
+    r, _ = cv2.Rodrigues(rvec)
+    t = np.array([0.5, 0.1, -0.05])
+    p1 = pts3[:, :2] / pts3[:, 2:]
+    q = pts3 @ r.T + t
+    p2 = q[:, :2] / q[:, 2:]
+    if noise:
+        p1 = p1 + rng.normal(0, noise, p1.shape)
+        p2 = p2 + rng.normal(0, noise, p2.shape)
+    return p1, p2, r, t
+
+
+def test_ref_yfcc_opencv_decompose(ref_yfcc, rng):
+    """Same cv2 calls, same winner selection: seed cv2's global RNG before
+    each side so findEssentialMat's RANSAC draws identical samples."""
+    import cv2
+
+    from ransacflow_tpu.eval.yfcc import estimate_pose, pose_error
+
+    p1, p2, r_gt, t_gt = _two_view_correspondences(rng, noise=1e-4)
+
+    cv2.setRNGSeed(7)
+    ref_res, _ = ref_yfcc["opencv_decompose"](p1, p2, True, 0.001)
+    cv2.setRNGSeed(7)
+    got = estimate_pose(p1, p2, use_ransac=True, threshold=0.001)
+
+    assert (ref_res is None) == (got is None)
+    assert got is not None, "well-conditioned geometry must recover a pose"
+    np.testing.assert_allclose(got[0], ref_res[0], atol=1e-12)
+    np.testing.assert_allclose(got[1], ref_res[1], atol=1e-12)
+    # and the recovered pose is actually right
+    err_q, err_t = pose_error(r_gt, t_gt, got[0], got[1])
+    assert err_q < 1.0 and err_t < 5.0
+
+
+class _F12:
+    """torch-1.2 functional semantics, the environment the reference ran
+    under: grid_sample was unconditionally align_corners=True (the kwarg
+    only appeared in torch 1.3); interpolate already defaulted to
+    align_corners=False."""
+
+    @staticmethod
+    def grid_sample(*a, **k):
+        import torch.nn.functional as F
+
+        return F.grid_sample(*a, align_corners=True, **k)
+
+    @staticmethod
+    def interpolate(*a, **k):
+        import torch.nn.functional as F
+
+        return F.interpolate(*a, **k)
+
+
+class _TgmStub:
+    """kornia 0.1.4 `tgm.HomographyWarper` warp_grid, via the twin the
+    harness-parity test verified line-by-line."""
+
+    class HomographyWarper:
+        def __init__(self, h, w):
+            self.h, self.w = h, w
+
+        def warp_grid(self, H):
+            from test_reference_harness import _warp_grid_torch
+
+            return torch.cat([
+                _warp_grid_torch(H[i: i + 1], self.h, self.w)
+                for i in range(len(H))
+            ])
+
+
+@pytest.fixture(scope="module")
+def ref_yfcc_getflow():
+    return extract_reference_functions(
+        "evaluation/evalYFCC/getResults.py", ["_getFlow"],
+        extra_globals={"F": _F12, "tgm": _TgmStub},
+    )
+
+
+@pytest.mark.parametrize("multi_h", [True, False])
+def test_ref_yfcc_get_flow_merge(ref_yfcc_getflow, rng, multi_h):
+    """The multi-homography compose+merge all four harnesses share
+    (getResults.py:150-190), executed from the reference's own code, vs
+    reconstruct_flows + merge_multi_h + the background multiply."""
+    from ransacflow_tpu.eval.compose import merge_multi_h, reconstruct_flows
+
+    n, h8, w8 = 3, 6, 8
+    th = 0.95
+    # near-identity homography stack
+    coarse_h = np.stack([
+        np.eye(3) + rng.uniform(-0.05, 0.05, (3, 3)) * (i > 0)
+        for i in range(n)
+    ]).astype(np.float32)
+    coarse_h /= coarse_h[:, 2:3, 2:3]
+    flow_d8 = rng.uniform(-0.2, 0.2, (n, h8, w8, 2)).astype(np.float32)
+    # binary stride-8 matchability: 8x bilinear of {0,1} lands on a k/64
+    # grid, never within float eps of th -> the >= th masks can't flip
+    # between the torch and JAX evaluations
+    match_d8 = (rng.rand(n, 2, h8, w8) > 0.3).astype(np.float32)
+    bg = (rng.rand(h8 * 8, w8 * 8) > 0.1).astype(np.float32)
+
+    ref_flow, ref_match = ref_yfcc_getflow["_getFlow"](
+        torch.from_numpy(flow_d8.transpose(0, 3, 1, 2)),
+        torch.from_numpy(coarse_h),
+        torch.from_numpy(match_d8),
+        bg, multi_h, th,
+    )
+
+    flows, matches = reconstruct_flows(
+        coarse_h, flow_d8, match_d8.transpose(0, 2, 3, 1),
+        h8 * 8, w8 * 8, cycle_match=True,
+    )
+    merged = merge_multi_h(flows, matches, th, multi_h)
+    got_match = merged["match_binary"] * bg
+
+    np.testing.assert_array_equal(got_match, ref_match)
+    np.testing.assert_allclose(merged["flow"], ref_flow, atol=2e-5)
+
+
+def test_ref_yfcc_opencv_decompose_degenerate(ref_yfcc):
+    """<5 points: both sides report no pose."""
+    from ransacflow_tpu.eval.yfcc import estimate_pose
+
+    p = np.zeros((4, 2))
+    ref_res, _ = ref_yfcc["opencv_decompose"](p, p, True, 0.001)
+    assert ref_res is None
+    assert estimate_pose(p, p) is None
