@@ -237,6 +237,56 @@ def pooled_kitti_predict(
         list(ex.map(worker, range(n_devices)))
 
 
+def compose_kitti_flow(art, ht, wt, th=1.0, cc_th=0.01, multi_h=True,
+                       interpolate=False, only_coarse=False):
+    """One pair's 3-level flow composition at GT resolution: the stride-8
+    D2 flow into the homography grid, the full stride-8 flow into that,
+    cycle matchability with cc cleanup, first-accept merge, optional
+    nearest fill (reference getResults.py:95-151 getFlow_all /
+    getFlow_onlyCoarse; golden-tested against the reference's own
+    executing functions in tests/test_reference_metrics.py).
+
+    Returns the absolute normalized sampling grid (ht, wt, 2).
+    """
+    n = art["coarse_h"].shape[0]
+    h_grid = warp_grid(jnp.asarray(art["coarse_h"]), ht, wt)
+    if only_coarse:
+        return np.asarray(h_grid[0])
+    grid = np.asarray(normalized_grid(ht, wt))
+    # level 2: d2 stride-8 flow into the homography grid
+    flow_d2 = _compose(
+        jnp.asarray(art["fine_flow_d2_down8"]), h_grid, ht, wt
+    )
+    # level 3: full stride-8 flow into the d2-composed grid
+    up = interpolate_bilinear(
+        jnp.asarray(art["fine_flow_down8"]), ht, wt
+    )
+    flow_up = jnp.clip(up + grid[None], -1.0, 1.0)
+    flow_full = grid_sample(flow_d2, flow_up)
+
+    match_up = interpolate_bilinear(
+        jnp.asarray(art["fine_match_down8"]), ht, wt
+    )
+    m12 = match_up[..., 0:1]
+    m21 = grid_sample(match_up[..., 1:2], flow_up)
+    in_b = (
+        (flow_full[..., 0:1] >= -1) & (flow_full[..., 0:1] <= 1)
+        & (flow_full[..., 1:2] >= -1) & (flow_full[..., 1:2] <= 1)
+    )
+    match = np.asarray(
+        (m12 * m21 * in_b.astype(m12.dtype))[..., 0]
+    )
+    match = np.stack(
+        [remove_small_cc(match[j], cc_th) for j in range(n)]
+    )
+    flows = np.clip(np.asarray(flow_full), -1, 1)
+    merged = merge_multi_h(flows, match, th, multi_h)
+    flow = merged["flow"]
+    if interpolate:
+        flow = fill_flow_nearest(flow, merged["match_binary"])
+    return flow
+
+
 def evaluate_kitti(
     pred_dir,
     gt_dir,
@@ -258,42 +308,10 @@ def evaluate_kitti(
         if art is None:
             flow = grid
         else:
-            n = art["coarse_h"].shape[0]
-            h_grid = warp_grid(jnp.asarray(art["coarse_h"]), ht, wt)
-            if only_coarse:
-                flow = np.asarray(h_grid[0])
-            else:
-                # level 2: d2 stride-8 flow into the homography grid
-                flow_d2 = _compose(
-                    jnp.asarray(art["fine_flow_d2_down8"]), h_grid, ht, wt
-                )
-                # level 3: full stride-8 flow into the d2-composed grid
-                up = interpolate_bilinear(
-                    jnp.asarray(art["fine_flow_down8"]), ht, wt
-                )
-                flow_up = jnp.clip(up + grid[None], -1.0, 1.0)
-                flow_full = grid_sample(flow_d2, flow_up)
-
-                match_up = interpolate_bilinear(
-                    jnp.asarray(art["fine_match_down8"]), ht, wt
-                )
-                m12 = match_up[..., 0:1]
-                m21 = grid_sample(match_up[..., 1:2], flow_up)
-                in_b = (
-                    (flow_full[..., 0:1] >= -1) & (flow_full[..., 0:1] <= 1)
-                    & (flow_full[..., 1:2] >= -1) & (flow_full[..., 1:2] <= 1)
-                )
-                match = np.asarray(
-                    (m12 * m21 * in_b.astype(m12.dtype))[..., 0]
-                )
-                match = np.stack(
-                    [remove_small_cc(match[j], cc_th) for j in range(n)]
-                )
-                flows = np.clip(np.asarray(flow_full), -1, 1)
-                merged = merge_multi_h(flows, match, th, multi_h)
-                flow = merged["flow"]
-                if interpolate:
-                    flow = fill_flow_nearest(flow, merged["match_binary"])
+            flow = compose_kitti_flow(
+                art, ht, wt, th=th, cc_th=cc_th, multi_h=multi_h,
+                interpolate=interpolate, only_coarse=only_coarse,
+            )
 
         du = (flow[..., 0] - grid[..., 0]) * (wt - 1) / 2
         dv = (flow[..., 1] - grid[..., 1]) * (ht - 1) / 2

@@ -200,6 +200,78 @@ def test_ref_kitti_interpolate_flow_match(ref_kitti, rng):
     np.testing.assert_array_equal(got, ref_out.squeeze(0).numpy())
 
 
+@pytest.fixture(scope="module")
+def ref_kitti_getflow():
+    import cv2
+    from scipy import ndimage as nd
+
+    return extract_reference_functions(
+        "evaluation/evalKITTI/getResults.py",
+        ["remove_small_cc", "interpolate_flow_match", "getFlow_all",
+         "getFlow_onlyCoarse"],
+        extra_globals={"cv2": cv2, "nd": nd, "os": __import__("os"),
+                       "measure": skimage_measure_shim, "F": _F12},
+    )
+
+
+@pytest.mark.parametrize("mode", ["full", "interp", "coarse"])
+def test_ref_kitti_get_flow_all(ref_kitti_getflow, rng, tmp_path, mode):
+    """The KITTI 3-level compose (homography -> D2 flow -> full flow, cycle
+    matchability, cc cleanup, merge, optional nearest-fill), executed from
+    the reference's own getFlow_all on artifacts written in ITS npy naming
+    scheme, vs compose_kitti_flow on the same stacks — also pins our
+    artifact-schema interpretation."""
+    from ransacflow_tpu.eval.kitti import compose_kitti_flow
+
+    n, h8, w8, ht, wt = 3, 5, 12, 40, 96
+    # NOT the production th=1.0: exact-1.0 acceptance sits on a float
+    # knife-edge (torch and XLA bilinear weight factorizations differ by
+    # 1 ulp where the true product is exactly 1), flipping ~0.3% of merge
+    # pixels. 0.95 exercises the same accept/merge path off the edge.
+    th, cc_th = 0.95, 0.01
+    coarse_h = np.stack([
+        np.eye(3) + rng.uniform(-0.05, 0.05, (3, 3)) * (i > 0)
+        for i in range(n)
+    ]).astype(np.float32)
+    coarse_h /= coarse_h[:, 2:3, 2:3]
+    flow_d2 = rng.uniform(-0.2, 0.2, (n, h8, w8, 2)).astype(np.float32)
+    flow_d8 = rng.uniform(-0.2, 0.2, (n, h8, w8, 2)).astype(np.float32)
+    # binary stride-8 matchability (no float-eps threshold ties, see
+    # test_ref_yfcc_get_flow_merge); th=1.0 accepts only exact-1 pixels
+    match_d8 = (rng.rand(n, 2, h8, w8) > 0.25).astype(np.float32)
+
+    pair_id, nb_h, res_name = "7", f"{n}H", "Finetune"
+    np.save(tmp_path / f"Homograpy_{pair_id}_{nb_h}.npy", coarse_h)
+    np.save(tmp_path / f"{res_name}_D2_{pair_id}_{nb_h}.npy",
+            flow_d2.transpose(0, 3, 1, 2))
+    np.save(tmp_path / f"{res_name}_{pair_id}_{nb_h}.npy",
+            flow_d8.transpose(0, 3, 1, 2))
+    np.save(tmp_path / f"{res_name}_Mask_{pair_id}_{nb_h}.npy", match_d8)
+    np.save(tmp_path / f"BG_{pair_id}_{nb_h}H.npy",
+            np.ones((ht, wt), np.float32))
+
+    warper = _TgmStub.HomographyWarper(ht, wt)
+    gy = torch.linspace(-1, 1, ht).view(1, -1, 1, 1).expand(1, ht, wt, 1)
+    gx = torch.linspace(-1, 1, wt).view(1, 1, -1, 1).expand(1, ht, wt, 1)
+    grid_org = torch.cat((gx, gy), dim=3)
+
+    fn = (ref_kitti_getflow["getFlow_onlyCoarse"] if mode == "coarse"
+          else ref_kitti_getflow["getFlow_all"])
+    ref_flow = fn(pair_id, str(tmp_path), nb_h, res_name, warper, True,
+                  grid_org, th, cc_th, mode == "interp")
+
+    art = {
+        "coarse_h": coarse_h,
+        "fine_flow_d2_down8": flow_d2,
+        "fine_flow_down8": flow_d8,
+        "fine_match_down8": match_d8.transpose(0, 2, 3, 1),
+    }
+    got = compose_kitti_flow(art, ht, wt, th=th, cc_th=cc_th, multi_h=True,
+                             interpolate=mode == "interp",
+                             only_coarse=mode == "coarse")
+    np.testing.assert_allclose(got, ref_flow.squeeze(0).numpy(), atol=2e-5)
+
+
 # ---------------------------------------------------------------- YFCC
 
 
