@@ -272,6 +272,39 @@ def test_ref_kitti_get_flow_all(ref_kitti_getflow, rng, tmp_path, mode):
     np.testing.assert_allclose(got, ref_flow.squeeze(0).numpy(), atol=2e-5)
 
 
+# ------------------------------------------------------------- HPatches
+
+
+def test_ref_hpatches_get_gt(rng, tmp_path):
+    """The DGC-Net GT grid (getResults.py:83-144), executed from the
+    reference's own getGT, vs eval/hpatches.hpatches_gt_grid on the same
+    CSV row and target .ppm."""
+    import cv2
+    import pandas as pd
+
+    from ransacflow_tpu.eval.hpatches import hpatches_gt_grid
+
+    ref = extract_reference_functions(
+        "evaluation/evalHpatch/getResults.py", ["getGT"],
+        extra_globals={"cv2": cv2, "os": __import__("os")},
+    )
+
+    obj_dir = tmp_path / "obj1"
+    obj_dir.mkdir()
+    cv2.imwrite(str(obj_dir / "2.ppm"),
+                rng.randint(0, 255, (37, 53, 3)).astype(np.uint8))
+
+    H = np.eye(3) + rng.uniform(-0.1, 0.1, (3, 3))
+    H[2, 2] = 1.0
+    row = {"obj": "obj1", "im1": 1, "im2": 2, "Him": 41, "Wim": 61}
+    row.update({f"h{i}": v for i, v in enumerate(H.ravel())})
+    df = pd.DataFrame([row])
+
+    ref_grid = ref["getGT"](df, 0, 48, str(tmp_path))
+    got = hpatches_gt_grid(df.iloc[0], 48, str(tmp_path))
+    np.testing.assert_allclose(got, ref_grid.squeeze(0).numpy(), atol=1e-5)
+
+
 # ---------------------------------------------------------------- YFCC
 
 
