@@ -9,8 +9,9 @@ pass. Three loss modes mirror the reference's curriculum:
 - 'flow+match' (stage 3): matchability-weighted SSIM/cycle + matchability
                + flow-gradient losses (train/train.py:31-65).
 - 'grad'       (visuals fine-tune): same as 'flow+match' but only the flow
-               net is trainable (train/train.py:92-114 + optimizer wiring
-               at :174-177).
+               net is trainable (the wiring at train/train.py:171-177 uses
+               computeLossMatchability; computeGradLossNoMatchability at
+               :92-114 is dead code).
 
 Module train/eval mode and gradient flow per mode follow the reference: a
 module outside `trainModule` runs in eval BN mode AND under stop_gradient

@@ -111,6 +111,27 @@ def extract_reference_functions(relpath, names, extra_globals=None):
     return {n: ns[n] for n in names}
 
 
+class _F12Namespace:
+    """`torch.nn.functional` with torch-1.2 defaults — the environment the
+    reference ran under: grid_sample was unconditionally align_corners=True
+    (the kwarg only appeared in torch 1.3); interpolate already defaulted
+    to align_corners=False. Everything else passes through."""
+
+    def __getattr__(self, name):
+        import torch.nn.functional as F
+
+        return getattr(F, name)
+
+    @staticmethod
+    def grid_sample(*a, **k):
+        import torch.nn.functional as F
+
+        return F.grid_sample(*a, align_corners=True, **k)
+
+
+F12 = _F12Namespace()
+
+
 class skimage_measure_shim:
     """Stand-in for `skimage.measure` (not installed): `label` with
     skimage's 2-D defaults (full 8-connectivity, background=0), built on

@@ -485,3 +485,84 @@ def test_ref_net_matchability(ref, rng):
     np.testing.assert_allclose(np.asarray(ours_up), gold_up, atol=2e-4)
     # reference initializes conv4 ~ N(0, 1e-4) => matchability ~ 0.5
     assert np.all(np.abs(np.asarray(ours_down) - 0.5) < 0.01)
+
+
+# ---------------------------------------------------------------------------
+# train/train.py — the full loss composition, executed from the reference
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_losses(ref):
+    """computeLossMatchability / computeLossNoMatchability extracted from
+    train/train.py (un-importable: torchvision/visdom/dataloader imports +
+    argparse main), executed with the reference's OWN model module and a
+    torch-1.2 F shim. computeGradLossNoMatchability is dead code — the
+    'grad' stage wires computeLossMatchability (train/train.py:171-177)."""
+    from ref_modules import F12, extract_reference_functions
+
+    return extract_reference_functions(
+        "train/train.py",
+        ["computeLossMatchability", "computeLossNoMatchability"],
+        extra_globals={"F": F12, "model": ref["model"]},
+    )
+
+
+@pytest.mark.parametrize("mode", ["flow", "flow+match"])
+def test_ref_loss_composition(ref, ref_losses, rng, mode):
+    """End-to-end training-loss parity: identical converted weights,
+    identical batch, every loss term (train/train.py:31-90 vs
+    train/losses.compute_losses)."""
+    import types
+
+    from ransacflow_tpu.ops.grid import normalized_grid
+    from ransacflow_tpu.train.losses import compute_losses, margin_mask
+
+    b, img = 2, 64
+    margin = 16
+    nets = {
+        "netFeatCoarse": ref["model"].FeatureExtractor().eval(),
+        "netCorr": ref["model"].CorrNeigh(7).eval(),
+        "netFlowCoarse": ref["model"].NetFlowCoarse(7).eval(),
+        "netMatch": ref["model"].NetMatchability(7).eval(),
+    }
+    with torch.no_grad():
+        for m in nets.values():
+            _randomize_bn_stats(m, rng)
+        # conv4 ~ N(0, 1e-4) keeps matchability pinned at 0.5; give the
+        # heads real spread so matchCycle varies over the image
+        for name in ("netFlowCoarse", "netMatch"):
+            nets[name].conv4.weight.mul_(300.0)
+
+    params = {
+        k: state_dict_to_tree(nets[k].state_dict())
+        for k in ("netFeatCoarse", "netFlowCoarse", "netMatch")
+    }
+
+    images = rng.rand(2 * b, img, img, 3).astype(np.float32)
+    index_roll = np.roll(np.arange(2 * b), b)
+    grid = np.asarray(normalized_grid(img, img))[None]
+    mask = np.asarray(margin_mask(2 * b, img, margin))
+
+    args = types.SimpleNamespace(margin=margin, mu_cycle=1.0,
+                                 lambda_match=0.01, grad=0.2)
+    ssim = ref["ssim"].SSIM()
+    fn = (ref_losses["computeLossMatchability"] if mode == "flow+match"
+          else ref_losses["computeLossNoMatchability"])
+    with torch.no_grad():
+        ref_lr, ref_cycle, ref_match, ref_grad, ref_total = fn(
+            nets, _nchw(images), torch.from_numpy(index_roll),
+            torch.from_numpy(grid), _nchw(mask), args, ssim,
+            ref["model"].SSIM,
+        )
+
+    total, aux = compute_losses(
+        params, jnp.asarray(images), jnp.asarray(index_roll),
+        jnp.asarray(grid), jnp.asarray(mask), mode=mode,
+        mu_cycle=1.0, lambda_match=0.01, grad_weight=0.2, train=False,
+    )
+    np.testing.assert_allclose(float(aux["loss_lr"]), ref_lr, atol=3e-5)
+    np.testing.assert_allclose(float(aux["loss_cycle"]), ref_cycle, atol=3e-5)
+    np.testing.assert_allclose(float(aux["loss_match"]), ref_match, atol=3e-5)
+    np.testing.assert_allclose(float(aux["loss_grad"]), ref_grad, atol=3e-5)
+    np.testing.assert_allclose(float(total), float(ref_total), atol=1e-4)

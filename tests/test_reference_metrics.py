@@ -30,6 +30,7 @@ import pytest
 import torch
 
 from ref_modules import (
+    F12,
     extract_reference_functions,
     reference_available,
     skimage_measure_shim,
@@ -210,7 +211,7 @@ def ref_kitti_getflow():
         ["remove_small_cc", "interpolate_flow_match", "getFlow_all",
          "getFlow_onlyCoarse"],
         extra_globals={"cv2": cv2, "nd": nd, "os": __import__("os"),
-                       "measure": skimage_measure_shim, "F": _F12},
+                       "measure": skimage_measure_shim, "F": F12},
     )
 
 
@@ -409,25 +410,6 @@ def test_ref_yfcc_opencv_decompose(ref_yfcc, rng):
     assert err_q < 1.0 and err_t < 5.0
 
 
-class _F12:
-    """torch-1.2 functional semantics, the environment the reference ran
-    under: grid_sample was unconditionally align_corners=True (the kwarg
-    only appeared in torch 1.3); interpolate already defaulted to
-    align_corners=False."""
-
-    @staticmethod
-    def grid_sample(*a, **k):
-        import torch.nn.functional as F
-
-        return F.grid_sample(*a, align_corners=True, **k)
-
-    @staticmethod
-    def interpolate(*a, **k):
-        import torch.nn.functional as F
-
-        return F.interpolate(*a, **k)
-
-
 class _TgmStub:
     """kornia 0.1.4 `tgm.HomographyWarper` warp_grid, via the twin the
     harness-parity test verified line-by-line."""
@@ -449,7 +431,7 @@ class _TgmStub:
 def ref_yfcc_getflow():
     return extract_reference_functions(
         "evaluation/evalYFCC/getResults.py", ["_getFlow"],
-        extra_globals={"F": _F12, "tgm": _TgmStub},
+        extra_globals={"F": F12, "tgm": _TgmStub},
     )
 
 
