@@ -77,7 +77,10 @@ def alignment_error(flow, xa, ya, xb, yb, ws, hs):
     yb_i = yb.astype(int)
     sx = (flow[yb_i, xb_i, 0] + 1) * 0.5 * (ws - 1)
     sy = (flow[yb_i, xb_i, 1] + 1) * 0.5 * (hs - 1)
-    return np.sqrt((sx - xa) ** 2 + (sy - ya) ** 2)
+    # the reference truncates the GT source coords too
+    # (train/validation.py:42-44 int(XA[j]); golden-tested in
+    # tests/test_reference_metrics.py)
+    return np.sqrt((sx - xa.astype(int)) ** 2 + (sy - ya.astype(int)) ** 2)
 
 
 def validate(df, val_dir, coarse_transforms, params, kernel_size=7,

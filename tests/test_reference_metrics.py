@@ -483,3 +483,67 @@ def test_ref_yfcc_opencv_decompose_degenerate(ref_yfcc):
     ref_res, _ = ref_yfcc["opencv_decompose"](p, p, True, 0.001)
     assert ref_res is None
     assert estimate_pose(p, p) is None
+
+
+# ----------------------------------------------------- train validation
+
+
+@pytest.fixture(scope="module")
+def ref_validation():
+    from PIL import Image
+
+    return extract_reference_functions(
+        "train/validation.py", ["ResizeMinResolution", "alignmentError"],
+        extra_globals={"Image": Image},
+    )
+
+
+def test_ref_validation_resize_min_resolution(ref_validation, rng):
+    from PIL import Image
+
+    from ransacflow_tpu.train.validation import (
+        _parse_coords,
+        resize_min_resolution,
+    )
+
+    img = Image.fromarray(rng.randint(0, 255, (375, 500, 3), np.uint8))
+    x = rng.uniform(0, 499, 20)
+    y = rng.uniform(0, 374, 20)
+    xs = ";".join(str(v) for v in x)
+    ys = ";".join(str(v) for v in y)
+
+    ref_img, ref_x, ref_y = ref_validation["ResizeMinResolution"](
+        480, img, xs, ys, 16
+    )
+    got_img, got_x, got_y = resize_min_resolution(
+        480, img, _parse_coords(xs), _parse_coords(ys)
+    )
+    assert got_img.size == ref_img.size
+    np.testing.assert_array_equal(np.asarray(got_img), np.asarray(ref_img))
+    np.testing.assert_allclose(got_x, ref_x, atol=1e-5)
+    np.testing.assert_allclose(got_y, ref_y, atol=1e-5)
+
+
+def test_ref_validation_alignment_error(ref_validation, rng):
+    """The validation-flavored accounting: strict < thresholds, int()
+    truncation of BOTH endpoints, no matchability gate
+    (train/validation.py:33-54)."""
+    from ransacflow_tpu.train.validation import PIXEL_GRID, alignment_error
+
+    hb, wb, ha, wa = 40, 56, 48, 64
+    n = 200
+    flow = rng.uniform(-1.05, 1.05, (hb, wb, 2)).astype(np.float32)
+    xa = rng.uniform(0, wa - 1, n).astype(np.float32)
+    ya = rng.uniform(0, ha - 1, n).astype(np.float32)
+    xb = rng.uniform(0, wb - 1, n).astype(np.float32)
+    yb = rng.uniform(0, hb - 1, n).astype(np.float32)
+
+    ref_hits, ref_n = ref_validation["alignmentError"](
+        wb, hb, wa, ha, xa, ya, xb, yb,
+        torch.from_numpy(flow)[None],
+        PIXEL_GRID.reshape(1, -1),
+    )
+    err = alignment_error(flow, xa, ya, xb, yb, wa, ha)
+    got_hits = (err.reshape(-1, 1) < PIXEL_GRID.reshape(1, -1)).sum(axis=0)
+    assert len(err) == ref_n
+    np.testing.assert_array_equal(got_hits, ref_hits)

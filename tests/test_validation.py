@@ -31,10 +31,10 @@ from ransacflow_tpu.train.loop import fit, resume_params
 from ransacflow_tpu.train.checkpoint import save_checkpoint, load_checkpoint
 
 MIN_SIZE = 64
-# planted pixel offsets, chosen >= 0.3 px away from every threshold
+# planted pixel offsets along x; the expected precision is computed by the
+# planter itself under the reference's int()-truncated accounting, with a
+# margin assertion keeping every resulting error clear of every threshold
 DELTAS = np.array([0.5, 2.5, 4.0, 6.0, 10.0, 20.0, 30.0, 100.0])
-# hits per threshold [1, 2, 3, 5, 8, 13, 22, 36]: count(delta < th)
-EXPECTED_HITS_ROW1 = np.array([1, 1, 2, 3, 4, 5, 6, 7], np.float64)
 
 
 def _zero_flow_params(key=0, kernel_size=7):
@@ -74,6 +74,8 @@ def _write_val_dataset(tmp_path, rng):
         np.array([[1.0, 0.05, -0.1], [0.02, 0.85, 0.0]], np.float32),
     ]
     rows = []
+    hits = np.zeros(8)
+    total = 0
     for r, (theta, deltas) in enumerate(
         zip(thetas, [DELTAS, np.full(8, 0.2)])
     ):
@@ -82,6 +84,17 @@ def _write_val_dataset(tmp_path, rng):
         sx, sy = _affine_source_px(theta, xb, yb, wt, ht, ws, hs)
         xa = sx + deltas  # plant the error along x
         ya = sy
+        # expected accounting under the reference's int() truncation of
+        # the GT coords (train/validation.py:42-44)
+        err = np.sqrt(
+            (sx - xa.astype(int)) ** 2 + (sy - ya.astype(int)) ** 2
+        )
+        # every planted error must sit clear of every threshold: the fp32
+        # flow path reproduces `err` only to ~1e-4
+        assert np.abs(err.reshape(-1, 1)
+                      - PIXEL_GRID.reshape(1, -1)).min() > 0.05
+        hits += (err.reshape(-1, 1) < PIXEL_GRID.reshape(1, -1)).sum(0)
+        total += len(err)
         rows.append({
             "scene": "10",
             "source_image": "s.jpg",
@@ -96,11 +109,7 @@ def _write_val_dataset(tmp_path, rng):
     pkl_path = tmp_path / "coarse.pkl"
     with open(pkl_path, "wb") as f:
         pickle.dump(thetas, f)
-    return str(csv_path), str(tmp_path / "val"), str(pkl_path)
-
-
-# row 2 contributes 8 hits at every threshold
-EXPECTED_PREC = (EXPECTED_HITS_ROW1 + 8.0) / 16.0
+    return str(csv_path), str(tmp_path / "val"), str(pkl_path), hits / total
 
 
 def test_pixel_grid_matches_reference():
@@ -127,11 +136,22 @@ def test_alignment_error_exact():
         flow, np.array([7.5]), np.array([2.0]),
         np.array([3.0]), np.array([2.0]), ws, hs,
     )
-    np.testing.assert_allclose(err, [0.0], atol=1e-6)
+    # the GT coords are int()-truncated like the reference's
+    # (train/validation.py:42-44): predicted sx=7.5 vs int(7.5)=7 -> 0.5
+    np.testing.assert_allclose(err, [0.5], atol=1e-6)
+
+    # integer GT coords at the exact prediction -> zero error
+    err = alignment_error(
+        flow, np.array([7.0]), np.array([2.0]),
+        np.array([3.0]), np.array([2.0]), ws, hs,
+    )
+    # sx=7.5 vs 7 -> 0.5 on x; sy=2.0 vs 2 -> 0
+    np.testing.assert_allclose(err, [0.5], atol=1e-6)
 
 
 def test_validate_exact_precision(tmp_path, rng):
-    csv_path, val_dir, pkl_path = _write_val_dataset(tmp_path, rng)
+    csv_path, val_dir, pkl_path, expected_prec = _write_val_dataset(
+        tmp_path, rng)
     import pandas as pd
 
     df = pd.read_csv(csv_path, dtype=str)
@@ -139,8 +159,8 @@ def test_validate_exact_precision(tmp_path, rng):
         thetas = pickle.load(f)
     prec = validate(df, val_dir, thetas, _zero_flow_params(),
                     min_size=MIN_SIZE)
-    np.testing.assert_allclose(prec, EXPECTED_PREC, atol=1e-9)
-    assert prec[4] == EXPECTED_PREC[4]  # the model-selection metric
+    np.testing.assert_allclose(prec, expected_prec, atol=1e-9)
+    assert prec[4] == expected_prec[4]  # the model-selection metric
 
 
 def _write_train_dir(tmp_path, rng):
@@ -159,7 +179,7 @@ def test_fit_best_model_gating(tmp_path, rng, monkeypatch):
     score at the end, return the best precision."""
     import ransacflow_tpu.train.loop as loop_mod
 
-    csv_path, val_dir, pkl_path = _write_val_dataset(tmp_path, rng)
+    csv_path, val_dir, pkl_path, _ = _write_val_dataset(tmp_path, rng)
     train_dir = _write_train_dir(tmp_path, rng)
     out_dir = str(tmp_path / "run")
 
@@ -196,7 +216,8 @@ def test_fit_validation_integration(tmp_path, rng):
     """Real validate() inside fit(): with lr=0 the zero-flow params never
     change, so the validation precision is the exact planted value and the
     rename carries it."""
-    csv_path, val_dir, pkl_path = _write_val_dataset(tmp_path, rng)
+    csv_path, val_dir, pkl_path, expected_prec = _write_val_dataset(
+        tmp_path, rng)
     train_dir = _write_train_dir(tmp_path, rng)
     out_dir = str(tmp_path / "run")
 
@@ -206,7 +227,7 @@ def test_fit_validation_integration(tmp_path, rng):
         margin=8, lr=0.0, max_steps_per_epoch=1, val_csv=csv_path,
         val_dir=val_dir, val_coarse_pkl=pkl_path, val_min_size=MIN_SIZE,
     )
-    assert best == pytest.approx(EXPECTED_PREC[4], abs=1e-9)
+    assert best == pytest.approx(expected_prec[4], abs=1e-9)
     assert os.path.exists(
         os.path.join(out_dir, f"BestModel@8_{best:.3f}")
     )
