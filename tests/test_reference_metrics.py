@@ -18,6 +18,11 @@ KITTI / Corr / YFCC metric passes:
 - evalYFCC/getResults.py:53-71   matches_from_flow vs eval/yfcc.matches_from_flow
 - evalYFCC/getResults.py:75-111  opencv_decompose vs eval/yfcc.estimate_pose
 - evalYFCC/getResults.py:114-129 evaluate_R_t     vs eval/yfcc.pose_error
+- evalYFCC/getResults.py:150-190 _getFlow         vs eval/compose (reconstruct+merge)
+- evalKITTI/getResults.py:95-151 getFlow_all/_onlyCoarse vs eval/kitti.compose_kitti_flow
+- evalHpatch/getResults.py:83-144 getGT           vs eval/hpatches.hpatches_gt_grid
+- train/validation.py:16-54      ResizeMinResolution + alignmentError
+                                 vs train/validation.py counterparts
 
 skimage.measure is the one dependency genuinely absent from this image; the
 cc golden substitutes `ref_modules.skimage_measure_shim` (scipy full
