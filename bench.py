@@ -142,7 +142,48 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
     return n_pairs / elapsed, float(np.mean(counts))
 
 
+def _probe_devices(timeout_s):
+    """Fail fast when the device tunnel is unreachable.
+
+    `jax.devices()` against a dead axon tunnel blocks indefinitely (no
+    deadline in the dev harness), which would make a scheduled bench run
+    hang opaquely. Enumerate devices on a daemon thread with a bounded
+    wait and exit(1) with a diagnosis instead.
+    """
+    import sys
+    import threading
+
+    import jax
+
+    # honor the JAX_PLATFORMS env var the same way the package's
+    # import-time guard does (the host pre-sets jax_platforms
+    # programmatically, which beats the env var): a JAX_PLATFORMS=cpu
+    # smoke run must probe the CPU backend, not the tunnel
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    out = {}
+
+    def enumerate_devices():
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=enumerate_devices, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(
+            f"bench.py: device enumeration did not complete within "
+            f"{timeout_s:.0f}s — the TPU tunnel is unreachable; "
+            f"no measurement taken",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    return out["devices"]
+
+
 def main():
+    _probe_devices(float(os.environ.get(
+        "RANSACFLOW_BENCH_DEVICE_TIMEOUT", "300")))
     import jax
     import jax.numpy as jnp
     from ransacflow_tpu.models import init_resnet50_layer3
