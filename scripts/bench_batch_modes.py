@@ -39,6 +39,11 @@ DEFAULT_MODES = ("scan", "chunk2", "chunk4", "chunk8", "chunkv2", "chunkv4")
 def main():
     modes = tuple(sys.argv[1:]) or DEFAULT_MODES
 
+    from bench import _probe_devices
+
+    _probe_devices(float(os.environ.get(
+        "RANSACFLOW_BENCH_DEVICE_TIMEOUT", "300")))
+
     import jax
     import jax.numpy as jnp
 
