@@ -58,7 +58,8 @@ def pyramid_shapes(min_size=MIN_SIZE, aspect=ASPECT, nb_scale=7, scale_r=2.0,
     return shapes
 
 
-def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
+def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
+                    related=False):
     """Reference-shaped eval path: full multi-homography loop at the
     HPatches config (minSize 480, 7 scales, 50k RANSAC iters, maxCoarse 10,
     maskRegionTh 0.01, match12-only fine stage —
@@ -68,6 +69,12 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
     vmapped setup program + one loop program + one count readback for the
     whole batch. (The per-pair dispatch variant costs ~120 ms/pair of
     host/tunnel overhead on top of ~12 ms/iteration device compute.)
+
+    related=True plants a genuinely-aligned pair (target = 16px-rolled
+    source at target scale) so that, with acceptance-realistic weights
+    (scripts/train_accept_weights.py), matchability saturates on the
+    matched region, the Mask accumulator fills, and the loop takes its
+    accept-driven exit instead of exhausting all slots.
     Returns (pairs_per_sec, avg_homographies).
     """
     import jax
@@ -91,12 +98,24 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10):
         base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
         return np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
 
-    sources = jnp.asarray(
-        np.stack([blocky(src_h, src_w) for _ in range(n_pairs)])[:, None]
-    )
-    targets = jnp.asarray(
-        np.stack([blocky(ht, wt) for _ in range(n_pairs)])[:, None]
-    )
+    if related:
+        # src_h == 2*ht at the default config (scale_r=2 pyramid): a 2x
+        # nearest-upsampled source whose mid-scale IS the unshifted target
+        bases = [blocky(ht, wt) for _ in range(n_pairs)]
+        srcs = [
+            np.kron(b, np.ones((2, 2, 1), np.float32))[:src_h, :src_w]
+            for b in bases
+        ]
+        tgts = [np.roll(b, (16, 16), axis=(0, 1)) for b in bases]
+        sources = jnp.asarray(np.stack(srcs)[:, None])
+        targets = jnp.asarray(np.stack(tgts)[:, None])
+    else:
+        sources = jnp.asarray(
+            np.stack([blocky(src_h, src_w) for _ in range(n_pairs)])[:, None]
+        )
+        targets = jnp.asarray(
+            np.stack([blocky(ht, wt) for _ in range(n_pairs)])[:, None]
+        )
     bgs = jnp.ones((n_pairs, ht, wt), jnp.float32)
     fy, fx = ht // 16, wt // 16
     y, x = feature_cell_coords(fy, fx)
@@ -182,7 +201,7 @@ def _probe_devices(timeout_s):
 
 
 def main():
-    _probe_devices(float(os.environ.get(
+    devices = _probe_devices(float(os.environ.get(
         "RANSACFLOW_BENCH_DEVICE_TIMEOUT", "300")))
     import jax
     import jax.numpy as jnp
@@ -190,20 +209,25 @@ def main():
     from ransacflow_tpu.pipeline import init_alignment_params
     from ransacflow_tpu.pipeline.fused import fused_align_batch
 
-    resnet_params = init_resnet50_layer3(jax.random.PRNGKey(0))
-    align_params = init_alignment_params(jax.random.PRNGKey(1))
+    resnet_params_f32 = init_resnet50_layer3(jax.random.PRNGKey(0))
+    align_params_f32 = init_alignment_params(jax.random.PRNGKey(1))
 
     # bf16 throughput mode: weights define the compute dtype (conv2d casts
     # activations down), so this runs every conv + the matching matmul on
     # the MXU in bf16 while coords/RANSAC/grid math stay fp32.
     # Geometry consistency vs fp32 is covered by
     # tests/test_fused.py::test_fused_bf16_mode_consistent_with_fp32.
-    dtype = os.environ.get("RANSACFLOW_BENCH_DTYPE", "float32")
+    # bf16 is the DEFAULT serving configuration since round 4 (measured
+    # 47.5 vs 41.1 pairs/s with chunk2; scripts/bench_batch_modes.py).
+    dtype = os.environ.get("RANSACFLOW_BENCH_DTYPE", "bfloat16")
     if dtype != "float32":
         from ransacflow_tpu.models import cast_params
 
-        resnet_params = cast_params(resnet_params, jnp.dtype(dtype))
-        align_params = cast_params(align_params, jnp.dtype(dtype))
+        resnet_params = cast_params(resnet_params_f32, jnp.dtype(dtype))
+        align_params = cast_params(align_params_f32, jnp.dtype(dtype))
+    else:
+        resnet_params = resnet_params_f32
+        align_params = align_params_f32
 
     shapes = pyramid_shapes()
     rng = np.random.RandomState(0)
@@ -227,11 +251,13 @@ def main():
     def build_pyramids(srcs):
         return jax.vmap(lambda s: device_pyramid(s, shapes))(srcs)
 
-    # 'scan' wins at the default 10k-hypothesis RANSAC: vmap batches the
-    # (pairs x matches x hypotheses) scoring intermediates into multi-GB
-    # HBM traffic that outweighs the batched-conv gains (measured 21.5 vs
-    # 30.1 pairs/s)
-    batch_mode = os.environ.get("RANSACFLOW_BENCH_MODE", "scan")
+    # Batch-mode A/B (round 4, scripts/bench_batch_modes.py): 'chunk2' —
+    # scan over chunks of 2 pairs with trunk+matching vmapped inside the
+    # chunk, RANSAC+fine streamed — wins (fp32 42.5 vs scan 41.1; bf16
+    # 47.5 vs scan 43.0: conv batching pays more once bf16 halves the
+    # activation traffic). Full 'vmap' still loses badly (31.5-36.5): the
+    # (pairs x matches x hypotheses) RANSAC intermediates blow up HBM.
+    batch_mode = os.environ.get("RANSACFLOW_BENCH_MODE", "chunk2")
 
     # space-to-depth stem (exact conv1 rewrite): wins in the isolated trunk
     # bench (9.5 -> 7.25 ms for the 7-scale pyramid) but LOSES end-to-end in
@@ -259,17 +285,81 @@ def main():
 
     pairs_per_sec = N_PAIRS / elapsed
 
+    # MFU: analytic model FLOPs (convs + matmuls only; the gather-shaped
+    # ops — grid_sample, upsampling, RANSAC sampling — are index-rate-bound
+    # and contribute ~0 FLOPs, see utils/flops.py) against the chip's dense
+    # peak. End-to-end serving MFU is honestly low: the workload is
+    # gather/matching-heavy by design. Per-stage MFU comes from pairing
+    # these per-stage FLOPs with scripts/bisect_fused.py stage times.
+    from ransacflow_tpu.utils.flops import (
+        fused_align_flops, peak_flops_per_chip,
+    )
+
+    stage_flops = fused_align_flops(shapes, ASPECT, n_iter=N_ITER)
+    peak = float(os.environ.get(
+        "RANSACFLOW_PEAK_FLOPS",
+        peak_flops_per_chip(devices[0].device_kind),
+    ))
+    mfu_pct = 100.0 * stage_flops["total"] * pairs_per_sec / peak
+
+    # fp32 'scan' comparability point: the configuration every pre-round-4
+    # headline was recorded in (fp32 parity weights, sequential scan).
+    if dtype != "float32" and not os.environ.get("RANSACFLOW_BENCH_SKIP_FP32"):
+        def run_f32(k):
+            pyramids = build_pyramids(sources)
+            out = fused_align_batch(
+                resnet_params_f32, align_params_f32, pyramids, targets,
+                jax.random.split(k, N_PAIRS), n_iter=N_ITER,
+                batch_mode="scan", stem_s2d=stem_s2d,
+            )
+            return np.asarray(out["num_inliers"])
+
+        run_f32(jax.random.PRNGKey(3))
+        el32 = float("inf")
+        for s in (4, 5, 6):
+            t0 = time.perf_counter()
+            run_f32(jax.random.PRNGKey(s))
+            el32 = min(el32, time.perf_counter() - t0)
+        fp32_scan_pps = N_PAIRS / el32
+    else:
+        fp32_scan_pps = None
+
     # Worst case: untrained matchability never saturates, so every synthetic
     # pair exhausts all maxCoarse+1 homography slots (real HPatches pairs
     # accept 1-3). Also measure a representative 3-homography config.
+    # Always fp32 params: keeps the multi-homography series comparable
+    # across rounds (r2/r3 recorded it at fp32).
     if os.environ.get("RANSACFLOW_BENCH_SKIP_MULTIHOMO"):
         # None -> JSON null; float('nan') would print a literal NaN token,
         # which is not valid RFC-8259 JSON
         mh_pps = mh_avg_h = mh3_pps = mh3_avg_h = None
     else:
-        mh_pps, mh_avg_h = bench_multihomo(resnet_params, align_params)
-        mh3_pps, mh3_avg_h = bench_multihomo(resnet_params, align_params,
+        mh_pps, mh_avg_h = bench_multihomo(resnet_params_f32,
+                                           align_params_f32)
+        mh3_pps, mh3_avg_h = bench_multihomo(resnet_params_f32,
+                                             align_params_f32,
                                              max_coarse=2)
+
+    # Acceptance-realistic variant: trained weights whose matchability
+    # saturates (scripts/train_accept_weights.py) on a genuinely-aligned
+    # pair, so the loop exits via the accept/Mask dynamics
+    # (reference evaluation/evalHpatch/evaluation.py:225-243) instead of
+    # the exhausted worst case above.
+    accept_path = os.environ.get(
+        "RANSACFLOW_BENCH_ACCEPT_WEIGHTS",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "assets", "accept_weights.npz"),
+    )
+    if (os.path.exists(accept_path)
+            and not os.environ.get("RANSACFLOW_BENCH_SKIP_MULTIHOMO")):
+        from ransacflow_tpu.models import load_params_npz
+
+        accept_params = load_params_npz(accept_path)
+        mha_pps, mha_avg_h = bench_multihomo(
+            resnet_params_f32, accept_params, related=True
+        )
+    else:
+        mha_pps = mha_avg_h = None
 
     print(
         json.dumps(
@@ -281,6 +371,17 @@ def main():
                     pairs_per_sec / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3
                 ),
                 "extra_metrics": {
+                    "serving_config": f"{dtype}/{batch_mode}",
+                    "fp32_scan_pairs_s": _round(fp32_scan_pps, 3),
+                    "mfu_pct": round(mfu_pct, 2),
+                    "model_gflops_per_pair": round(
+                        stage_flops["total"] / 1e9, 2
+                    ),
+                    "stage_gflops": {
+                        k: round(v / 1e9, 2)
+                        for k, v in stage_flops.items() if k != "total"
+                    },
+                    "peak_tflops_assumed": round(peak / 1e12, 1),
                     "multihomo_hpatches50k_maxcoarse_exhausted_pairs_s":
                         _round(mh_pps, 3),
                     "multihomo_exhausted_avg_homographies":
@@ -291,6 +392,8 @@ def main():
                         None if mh3_pps is None
                         else mh3_pps / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3
                     ),
+                    "multihomo_accept_realistic_pairs_s": _round(mha_pps, 3),
+                    "multihomo_accept_avg_homographies": _round(mha_avg_h, 2),
                 },
             }
         )

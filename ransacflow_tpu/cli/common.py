@@ -67,3 +67,21 @@ def build_sky_fn(args, rotated=False):
     dec = state_dict_to_tree(load_torch_checkpoint(args.segDecoderPth))
     seg = SkySegmenter(enc, dec, seg_id=2, seg_fg=False)
     return make_sky_bg_fn_rotated(seg) if rotated else make_sky_bg_fn(seg)
+
+
+def add_fused_flag(parser):
+    parser.add_argument(
+        "--fused", action="store_true",
+        help="route sequential (no --nDevices) prediction through the "
+             "device-resident fused multi-homography loop: one dispatch + "
+             "one readback per pair instead of ~4 host syncs per "
+             "homography. Sugar for --nDevices 1. Artifacts match the "
+             "host loop except its optional fp64 DLT polish "
+             "(pipeline/multihomo.py documents the divergences).")
+
+
+def resolve_n_devices(args):
+    """--fused is sugar for --nDevices 1 when no pool size is given."""
+    if args.nDevices is None and getattr(args, "fused", False):
+        return 1
+    return args.nDevices

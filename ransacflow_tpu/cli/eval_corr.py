@@ -11,9 +11,11 @@ import argparse
 from ransacflow_tpu.cli.common import (
     add_model_args,
     add_segnet_args,
+    add_fused_flag,
     load_align_params,
     load_coarse_net,
     build_sky_fn,
+    resolve_n_devices,
 )
 
 
@@ -43,6 +45,7 @@ def main():
                         "into single multi-homography dispatches (identical "
                         "artifacts, one dispatch+readback per batch)")
     p.add_argument("--endIndex", type=int, default=None)
+    add_fused_flag(p)
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -75,7 +78,7 @@ def main():
             begin_index=args.beginIndex, end_index=args.endIndex,
             bg_mask_fn=None if not args.segNet else
             (lambda row, hw, fn=build_sky_fn(args): fn(row, hw)),
-            n_devices=args.nDevices, batch_pairs=args.batchPairs,
+            n_devices=resolve_n_devices(args), batch_pairs=args.batchPairs,
         )
     else:
         from ransacflow_tpu.eval import evaluate_corr, PIXEL_GRID

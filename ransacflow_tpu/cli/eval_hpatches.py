@@ -13,9 +13,11 @@ import numpy as np
 from ransacflow_tpu.cli.common import (
     add_model_args,
     add_segnet_args,
+    add_fused_flag,
     load_align_params,
     load_coarse_net,
     build_sky_fn,
+    resolve_n_devices,
 )
 
 
@@ -45,6 +47,7 @@ def main():
                         "into single multi-homography dispatches (identical "
                         "artifacts, one dispatch+readback per batch)")
     p.add_argument("--endIndex", type=int, default=None)
+    add_fused_flag(p)
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -71,7 +74,7 @@ def main():
             mask_region_th=args.maskRegionTh,
             bg_mask_fn=build_sky_fn(args),
             begin_index=args.beginIndex, end_index=args.endIndex,
-            n_devices=args.nDevices, batch_pairs=args.batchPairs,
+            n_devices=resolve_n_devices(args), batch_pairs=args.batchPairs,
         )
     else:
         from ransacflow_tpu.eval import evaluate_hpatches

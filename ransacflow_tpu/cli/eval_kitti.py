@@ -38,7 +38,12 @@ def main():
     p.add_argument("--endIndex", type=int, default=200)
     p.add_argument("--nDevices", type=int, default=None,
                    help="thread-per-device prediction pool; artifacts "
-                        "are identical to the sequential run")
+                        "are identical to the sequential run. (No --fused "
+                        "flag here, unlike the other harnesses: KITTI's "
+                        "accept decision runs host-side scipy connected-"
+                        "component cleanup each iteration, so its loop "
+                        "cannot be device-resident — see "
+                        "eval/kitti.py pooled_kitti_predict)")
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)

@@ -14,9 +14,11 @@ import os
 from ransacflow_tpu.cli.common import (
     add_model_args,
     add_segnet_args,
+    add_fused_flag,
     load_align_params,
     load_coarse_net,
     build_sky_fn,
+    resolve_n_devices,
 )
 from ransacflow_tpu.eval.yfcc import SCENES
 
@@ -48,6 +50,7 @@ def main():
                    help="with --nDevices: batch same-resized-shape pairs "
                         "into single multi-homography dispatches (identical "
                         "artifacts, one dispatch+readback per batch)")
+    add_fused_flag(p)
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -92,10 +95,11 @@ def main():
             )
             img_dir = os.path.join(args.testImg, scene, "test")
             out_dir = os.path.join(args.outDir, scene)
-            if args.nDevices is not None:
+            n_devices = resolve_n_devices(args)
+            if n_devices is not None:
                 pooled_yfcc_predict(
                     pair_pkl, img_dir, out_dir, resnet, align,
-                    args.nDevices, coarse_kwargs,
+                    n_devices, coarse_kwargs,
                     batch_pairs=args.batchPairs, **common,
                 )
             else:

@@ -27,6 +27,8 @@ from ransacflow_tpu.models.convert import (
     load_alignment_checkpoint,
     load_resnet50_trunk,
     load_torch_checkpoint,
+    save_params_npz,
+    load_params_npz,
 )
 from ransacflow_tpu.models.segnet import (
     init_segnet_encoder,

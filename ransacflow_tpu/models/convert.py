@@ -85,3 +85,38 @@ def load_resnet50_trunk(path_or_state_dict, moco=False, dtype=jnp.float32):
     if moco and "model" in sd:
         sd = sd["model"]
     return state_dict_to_tree(sd, skip_prefixes=RESNET_TRUNK_SKIP, dtype=dtype)
+
+
+def save_params_npz(path, params, dtype=np.float16):
+    """Save a nested dict param tree as one flat .npz ('a/b/c' keys).
+
+    Storage format for small checked-in weight files (e.g. the
+    accept-realistic bench weights, scripts/train_accept_weights.py);
+    fp16 storage halves the file and is lossless enough for benchmark
+    acceptance dynamics. Use orbax (train/checkpoint.py) for real
+    training checkpoints.
+    """
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(prefix + (str(k),), v)
+        else:
+            flat["/".join(prefix)] = np.asarray(node, dtype)
+
+    walk((), params)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path, dtype=jnp.float32):
+    """Inverse of `save_params_npz`: rebuild the nested dict tree."""
+    tree = {}
+    with np.load(path) as f:
+        for key in f.files:
+            parts = key.split("/")
+            node = tree
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(f[key], dtype)
+    return tree

@@ -185,6 +185,53 @@ def test_hpatches_harness_end_to_end(tmp_path, rng, resnet_params,
     assert res_fine[2] < 25.0, res_fine
 
 
+def test_hpatches_fused_flag_equivalent(tmp_path, rng, resnet_params,
+                                        align_params):
+    """`--fused` (CLI sugar for n_devices=1, cli/common.resolve_n_devices)
+    routes prediction through the device-resident fused loop. Its artifacts
+    are NOT bit-identical to the host loop by design (documented PRNG fold
+    + fp64-polish divergences, pipeline/multihomo.py:283-305), so assert
+    geometric equivalence: same artifact schema/shapes and the same
+    exactly-recoverable translation (coarse AEPE ~0 px on both paths)."""
+    from types import SimpleNamespace
+    from ransacflow_tpu.cli.common import resolve_n_devices
+    from ransacflow_tpu.eval import predict_hpatches, evaluate_hpatches
+
+    # the flag maps to a 1-device pool exactly when no pool size is given
+    assert resolve_n_devices(
+        SimpleNamespace(nDevices=None, fused=True)) == 1
+    assert resolve_n_devices(
+        SimpleNamespace(nDevices=None, fused=False)) is None
+    assert resolve_n_devices(
+        SimpleNamespace(nDevices=4, fused=True)) == 4
+
+    csv_dir, image_dir = _write_hpatches_dataset(tmp_path, rng)
+    outs = {}
+    for tag, n_dev in (("host", None), ("fused", 1)):
+        pred_dir = str(tmp_path / f"pred_{tag}")
+        predict_hpatches(
+            csv_dir, image_dir, pred_dir, resnet_params, align_params,
+            scenes=(2,), min_size=H_IMG, nb_scale=1, n_iter=3000,
+            max_coarse=1, n_devices=n_dev,
+            bg_mask_fn=lambda path, hw: _fg_border_mask(*hw),
+        )
+        arts = load_pair(os.path.join(pred_dir, "2"), 0)
+        assert arts is not None
+        res, _ = evaluate_hpatches(
+            pred_dir, csv_dir, image_dir, scenes=(2,), out_size=160,
+            only_coarse=True,
+        )
+        outs[tag] = (arts, res[2])
+
+    host_arts, host_aepe = outs["host"]
+    fused_arts, fused_aepe = outs["fused"]
+    assert set(host_arts.keys()) == set(fused_arts.keys())
+    for k in host_arts:
+        assert np.shape(host_arts[k]) == np.shape(fused_arts[k]), k
+    # both paths recover the planted translation to sub-pixel coarse AEPE
+    assert host_aepe < 1.0 and fused_aepe < 1.0, (host_aepe, fused_aepe)
+
+
 # ---------------------------------------------------------------------------
 # Corr harness end-to-end
 # ---------------------------------------------------------------------------

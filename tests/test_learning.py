@@ -31,6 +31,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 from PIL import Image
+
+pytestmark = pytest.mark.slow  # ~10 min on the 1-core host
 from scipy.ndimage import gaussian_filter
 
 from ransacflow_tpu.pipeline import init_alignment_params

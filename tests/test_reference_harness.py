@@ -50,9 +50,12 @@ from ransacflow_tpu.eval.artifacts import save_pair
 from ransacflow_tpu.eval.hpatches import evaluate_hpatches, hpatches_gt_grid
 from ransacflow_tpu.utils.image import resize_min_size, to_array, scale_list
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference tree not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # reference-executed full-harness proxies
+    pytest.mark.skipif(
+        not reference_available(), reason="reference tree not mounted"
+    ),
+]
 
 MIN_SIZE = H_IMG  # 160; dataset images are already (160, 160)
 NB_SCALE = 3

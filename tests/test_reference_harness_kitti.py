@@ -58,9 +58,12 @@ from ransacflow_tpu.eval.kitti import _predict_one_kitti_pair
 from ransacflow_tpu.eval.artifacts import load_pair
 from ransacflow_tpu.utils.image import scale_list
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference tree not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # reference-executed full-harness proxies
+    pytest.mark.skipif(
+        not reference_available(), reason="reference tree not mounted"
+    ),
+]
 
 MIN_SIZE = H_IMG  # coarse matching at the original 160px
 NB_SCALE = 3

@@ -64,9 +64,12 @@ from ransacflow_tpu.eval.yfcc import (
 )
 from ransacflow_tpu.utils.image import resize_min_size, scale_list
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference tree not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # reference-executed full-harness proxies
+    pytest.mark.skipif(
+        not reference_available(), reason="reference tree not mounted"
+    ),
+]
 
 MIN_SIZE = H_IMG  # 160; square so every rotation keeps the shape
 NB_SCALE = 3
