@@ -11,7 +11,14 @@ pair. This harness attributes that cost and A/B-tests the candidate fixes:
   3. a space-to-depth stem (the MLPerf-ResNet TPU trick: 7x7/s2 conv on
      (H, W, 3) rewritten exactly as a 4x4/s1 conv on the (H/2, W/2, 12)
      space-to-depth image — same multiply-adds, MXU-friendlier layout)
-  4. all of the above fp32 AND bf16 (weight dtype pulls compute dtype).
+  4. padded same-shape bucketing of the 7 scale forwards (round-4 lever:
+     adjacent scales zero-padded to a common shape and batched, trading
+     +14% pixels for fewer, wider conv dispatches). TIMING-ONLY A/B:
+     padded-border features differ from the per-scale forward (conv
+     zero-padding vs explicit zero image regions diverge after the first
+     BN bias), so an exactness pass — re-zeroing the padded region before
+     each spatial conv — is only worth building if this wins.
+  5. all of the above fp32 AND bf16 (weight dtype pulls compute dtype).
 
 K-reps-inside-one-scan timing per CLAUDE.md (the dev tunnel makes per-call
 host timing meaningless); both trip counts warmed.
@@ -140,6 +147,24 @@ def main():
         timed(f"{tag} pyramid(7) trunk_s2d", lambda k: sum(
             jnp.sum(upto(p, imagenet_preprocess(jitter(im, k)), 3, s2d=True))
             for im in imgs))
+        # 4. padded same-shape bucketing (timing-only; see module docstring)
+        for buckets in ([[0], [1, 2], [3, 4], [5, 6]],
+                        [[0], [1], [2, 3], [4, 5, 6]]):
+            def bucketed(k, bks=buckets):
+                tot = jnp.float32(0)
+                for bk in bks:
+                    bh = max(shapes[i][0] for i in bk)
+                    bw = max(shapes[i][1] for i in bk)
+                    x = jnp.stack([
+                        jnp.pad(imagenet_preprocess(jitter(imgs[i], k))[0],
+                                ((0, bh - shapes[i][0]),
+                                 (0, bw - shapes[i][1]), (0, 0)))
+                        for i in bk])
+                    tot += jnp.sum(resnet50_layer3(p, x)[0])
+                return tot
+
+            name = "+".join(str(len(b)) for b in buckets)
+            timed(f"{tag} pyramid(7) trunk_bucket[{name}]", bucketed)
 
 
 if __name__ == "__main__":
