@@ -220,9 +220,9 @@ def main():
     # bf16 is the DEFAULT serving configuration since round 4 (measured
     # 47.5 vs 41.1 pairs/s with chunk2; scripts/bench_batch_modes.py).
     dtype = os.environ.get("RANSACFLOW_BENCH_DTYPE", "bfloat16")
-    if dtype != "float32":
-        from ransacflow_tpu.models import cast_params
+    from ransacflow_tpu.models import cast_params
 
+    if dtype != "float32":
         resnet_params = cast_params(resnet_params_f32, jnp.dtype(dtype))
         align_params = cast_params(align_params_f32, jnp.dtype(dtype))
     else:
@@ -332,13 +332,22 @@ def main():
     if os.environ.get("RANSACFLOW_BENCH_SKIP_MULTIHOMO"):
         # None -> JSON null; float('nan') would print a literal NaN token,
         # which is not valid RFC-8259 JSON
-        mh_pps = mh_avg_h = mh3_pps = mh3_avg_h = None
+        mh_pps = mh_avg_h = mh3_pps = mh3_avg_h = mh3_bf16_pps = None
     else:
         mh_pps, mh_avg_h = bench_multihomo(resnet_params_f32,
                                            align_params_f32)
         mh3_pps, mh3_avg_h = bench_multihomo(resnet_params_f32,
                                              align_params_f32,
                                              max_coarse=2)
+        # bf16 point on the 3-homography config: identical work (all
+        # three slots fill under untrained matchability), +12% measured
+        # (scripts/bench_multihomo_dtype.py, round 4); geometry
+        # consistency is tested
+        # (test_multi_homography_fused_bf16_consistent_with_fp32)
+        mh3_bf16_pps, _ = bench_multihomo(
+            cast_params(resnet_params_f32, jnp.bfloat16),
+            cast_params(align_params_f32, jnp.bfloat16),
+            max_coarse=2)
 
     # Acceptance-realistic variant: trained weights whose matchability
     # saturates (scripts/train_accept_weights.py) on a genuinely-aligned
@@ -392,6 +401,8 @@ def main():
                         None if mh3_pps is None
                         else mh3_pps / BASELINE_PAIRS_PER_SEC_PER_CHIP, 3
                     ),
+                    "multihomo_hpatches50k_3homo_bf16_pairs_s":
+                        _round(mh3_bf16_pps, 3),
                     "multihomo_accept_realistic_pairs_s": _round(mha_pps, 3),
                     "multihomo_accept_avg_homographies": _round(mha_avg_h, 2),
                 },

@@ -32,16 +32,33 @@ def conv2d(x, weight, bias=None, stride=1, padding=1, groups=1, dilation=1):
     if isinstance(dilation, int):
         dilation = (dilation, dilation)
     # the weight dtype defines the compute dtype (mixed-precision
-    # convention): bf16 weights pull fp32 activations down to bf16
-    out = lax.conv_general_dilated(
-        x.astype(weight.dtype),
-        weight,
-        window_strides=stride,
-        padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=groups,
-        rhs_dilation=dilation,
-    )
+    # convention): bf16 weights pull fp32 activations down to bf16.
+    # int8 weights select the MXU's int8 path (2x bf16 throughput on
+    # v5e) with int32 accumulation; callers own the quantization scales
+    # (see scripts/bench_trunk.py int8 probe) — the raw int32 output is
+    # returned as float for the elementwise epilogue to rescale.
+    if weight.dtype == jnp.int8:
+        out = lax.conv_general_dilated(
+            jnp.round(x).astype(jnp.int8) if jnp.issubdtype(
+                x.dtype, jnp.floating) else x.astype(jnp.int8),
+            weight,
+            window_strides=stride,
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            rhs_dilation=dilation,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        out = lax.conv_general_dilated(
+            x.astype(weight.dtype),
+            weight,
+            window_strides=stride,
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            rhs_dilation=dilation,
+        )
     if bias is not None:
         out = out + bias
     return out

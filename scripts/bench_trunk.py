@@ -147,6 +147,29 @@ def main():
         timed(f"{tag} pyramid(7) trunk_s2d", lambda k: sum(
             jnp.sum(upto(p, imagenet_preprocess(jitter(im, k)), 3, s2d=True))
             for im in imgs))
+        # 5b. int8 timing ceiling (once, after the fp32 pass): conv weights
+        # cast to int8 (BN/bias stay fp32) select the MXU int8 path with
+        # int32 accumulation; activations round-trip through a quantize
+        # cast at every conv boundary — exactly the dataflow a per-tensor
+        # PTQ scheme would produce, so this times the real upper bound.
+        # TIMING-ONLY: no scales, so the features are garbage; a proper
+        # quantized trunk is only worth building if this wins big.
+        if tag == "fp32":
+            def to_i8(path_leaf):
+                w = path_leaf
+                if hasattr(w, "ndim") and w.ndim == 4:
+                    return (127.0 * w / (jnp.max(jnp.abs(w)) + 1e-8)
+                            ).astype(jnp.int8)
+                return w
+
+            params_i8 = jax.tree.map(to_i8, params32)
+            timed("int8 top trunk", lambda k: resnet50_layer3(
+                params_i8, imagenet_preprocess(jitter(imgs[0], k)))[0])
+            timed("int8 pyramid(7) trunk", lambda k: sum(
+                jnp.sum(resnet50_layer3(
+                    params_i8, imagenet_preprocess(jitter(im, k)))[0])
+                for im in imgs))
+
         # 4. padded same-shape bucketing (timing-only; see module docstring)
         for buckets in ([[0], [1, 2], [3, 4], [5, 6]],
                         [[0], [1], [2, 3], [4, 5, 6]]):

@@ -95,8 +95,25 @@ def main():
         img_size=SIZE, margin=10, lr=2e-4, seed=1, log_every=10**9,
     )
 
-    # diagnostic: matchability on a fresh aligned pair must clear the
-    # multi-homography Mask-update threshold region (>~0.9 mean)
+    # Temperature sharpening: the multi-homography exit path needs the
+    # accumulated Mask to FILL, and the reference's update
+    # `Mask = ((Mask + match) >= 1.0)`
+    # (evaluation/evalHpatch/evaluation.py:237) only marks pixels whose
+    # sigmoid matchability is exactly 1.0 in fp32 — i.e. final-layer
+    # logits >~ 17, which long-trained released weights reach but a
+    # 300-step run cannot (the -log(m) gradient vanishes as m -> 1).
+    # conv4 has no bias, so scaling its weight scales the logits exactly:
+    # the decision boundary (logit 0 <-> m = 0.5) is unchanged, confident
+    # pixels saturate to 1.0, unconfident ones to 0.0 — the calibration
+    # long training produces, applied to briefly-trained discriminative
+    # weights. k = 25 turns the weakest "confident" logits (~0.7) into
+    # saturated ones (17.5).
+    params["netMatch"]["conv4"]["weight"] = (
+        params["netMatch"]["conv4"]["weight"] * 25.0
+    )
+
+    # diagnostic: matchability on a fresh aligned pair must saturate —
+    # the Mask update needs pixels at EXACTLY 1.0, not just a high mean
     c = rng.rand(SIZE, SIZE, 3).astype(np.float32)
     x = jnp.asarray(c)[None]
     feats, _ = feature_extractor(params["netFeatCoarse"], x)
@@ -104,12 +121,14 @@ def main():
     corr = correlation_volume(feats, feats, 7)
     m, _ = net_matchability(params["netMatch"], corr, up8=True)
     mean_match = float(jnp.mean(m))
-    print(f"mean matchability on an identically-aligned pair: {mean_match:.3f}")
+    frac_saturated = float(jnp.mean((m >= 1.0).astype(jnp.float32)))
+    print(f"mean matchability on an identically-aligned pair: "
+          f"{mean_match:.3f}; fraction exactly 1.0: {frac_saturated:.3f}")
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     save_params_npz(OUT, params)
     print(f"saved {OUT} ({os.path.getsize(OUT) / 1e6:.1f} MB)")
-    if mean_match < 0.85:
+    if frac_saturated < 0.5:
         print("WARNING: matchability did not saturate; bench accept "
               "dynamics may still exhaust slots")
 

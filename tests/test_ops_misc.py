@@ -155,3 +155,27 @@ def test_monitor_image_dumps(tmp_path, rng):
                           kind="flow")
     for p in (p1, p2):
         assert Image.open(p).size[0] > 0
+
+
+def test_conv2d_int8_weights_integer_accumulation():
+    """int8 weights select the MXU int8 path with int32 accumulation
+    (models/layers.py conv2d): the float result equals an exact integer
+    conv of the rounded inputs — no float rounding inside the dot."""
+    import jax.numpy as jnp
+    from ransacflow_tpu.models.layers import conv2d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randint(-50, 50, (1, 8, 8, 3)).astype(np.float32))
+    w8 = rng.randint(-127, 128, (3, 3, 3, 4)).astype(np.int8)
+    out = conv2d(x, jnp.asarray(w8), padding=1)
+    assert out.dtype == jnp.float32
+    # golden: exact int64 conv via explicit loops on the host
+    xi = np.asarray(x)[0].astype(np.int64)
+    xp = np.pad(xi, ((1, 1), (1, 1), (0, 0)))
+    gold = np.zeros((8, 8, 4), np.int64)
+    for i in range(8):
+        for j in range(8):
+            patch = xp[i:i + 3, j:j + 3, :]
+            gold[i, j] = np.tensordot(
+                patch, w8.astype(np.int64), axes=([0, 1, 2], [0, 1, 2]))
+    np.testing.assert_array_equal(np.asarray(out)[0].astype(np.int64), gold)

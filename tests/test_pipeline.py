@@ -265,3 +265,36 @@ def test_multi_homography_batch_matches_per_pair(rng, resnet_params,
             np.asarray(batched["flows"][i]), np.asarray(single["flows"]))
         np.testing.assert_array_equal(
             np.asarray(batched["matches"][i]), np.asarray(single["matches"]))
+
+
+def test_multi_homography_fused_bf16_consistent_with_fp32(rng, resnet_params,
+                                                          align_params):
+    """bf16-cast params (weights define the compute dtype) through the
+    device-resident multi-homography loop recover the same first homography
+    as fp32: convs + the matching matmul run bf16 while coords / DLT / mask
+    geometry stay fp32 (coordinate arrays never touch the cast). Guards the
+    bf16 multi-homography throughput mode (scripts/bench_multihomo_dtype.py)
+    the same way test_fused_bf16_mode_consistent_with_fp32 guards serving."""
+    from ransacflow_tpu.models import cast_params
+    from ransacflow_tpu.pipeline import multi_homography_predict_fused
+
+    src, tgt, H_true = _translated_pair(rng)
+
+    def run(params_r, params_a):
+        coarse = CoarseAligner(params_r, nb_scale=1, n_iter=2000,
+                               min_size=H_IMG, polish_fp64=False)
+        coarse.set_pair(src, tgt)
+        return multi_homography_predict_fused(
+            coarse, params_a, max_coarse=2, mask_region_th=0.01,
+            bg_mask=1.0 - _border_mask(),
+        )
+
+    out32 = run(resnet_params, align_params)
+    out16 = run(cast_params(resnet_params, jnp.bfloat16),
+                cast_params(align_params, jnp.bfloat16))
+    assert out32 is not None and out16 is not None
+    assert _h_error(out16["coarse_h"][0], H_true) < 0.02
+    assert _h_error(out16["coarse_h"][0], out32["coarse_h"][0]) < 0.01
+    # fine outputs come back fp32-castable and finite under bf16 compute
+    f16 = np.asarray(out16["fine_flow_down8"], np.float32)
+    assert np.isfinite(f16).all()
