@@ -193,8 +193,10 @@ def fused_align_batch(
         fine stage is HBM-pressure-bound), so 'scan' is the default.
         'chunk<k>' scans over chunks of k pairs with the trunk+matching
         vmapped inside the chunk (conv batching on the MXU) while RANSAC
-        and the fine stage stream pair-at-a-time; 'chunkv<k>' vmaps the
-        whole chunk. Both bound the live HBM set to k pairs instead of K.
+        and the fine stage stream pair-at-a-time; 'chunkf<k>' additionally
+        vmaps the fine stage over the chunk (only RANSAC streams);
+        'chunkv<k>' vmaps the whole chunk. All bound the live HBM set to
+        k pairs instead of K.
     Returns dict of stacked outputs (leading axis K).
     """
 
@@ -230,7 +232,8 @@ def fused_align_batch(
     if batch_mode.startswith("chunk"):
         spec = batch_mode[5:]
         full_vmap = spec.startswith("v")
-        c = int(spec[1:] if full_vmap else spec)
+        fine_vmap = spec.startswith("f")
+        c = int(spec[1:] if (full_vmap or fine_vmap) else spec)
         n = targets.shape[0]
         if n % c:
             raise ValueError(
@@ -254,6 +257,25 @@ def fused_align_batch(
                     resnet_params, tuple(py), t, stem_s2d=stem_s2d
                 )
             )(tuple(pyr), tgt)
+
+            if fine_vmap:
+                # 'chunkf<k>': the hybrid split inside one chunk — RANSAC
+                # streams (its (matches x hypotheses) intermediates stay
+                # single-pair) while the conv-heavy fine stage batches on
+                # the MXU with its live set bounded to k pairs, not K
+                def r_body(_, i2):
+                    k, a, b, v = i2
+                    return None, ransac_homography(
+                        k, a, b, v, tolerance, n_iter=n_iter
+                    )
+
+                _, res = jax.lax.scan(r_body, None, (ks, m1, m2, valid))
+                return None, jax.vmap(
+                    lambda py, t, r: _fine_with_gate(
+                        align_params, tuple(py), t, r, cycle_match,
+                        kernel_size
+                    )
+                )(tuple(pyr), tgt, res)
 
             def rf_body(_, i2):
                 k, a, b, v, py, t = i2

@@ -33,7 +33,8 @@ N_PAIRS = int(os.environ.get("RANSACFLOW_BENCH_PAIRS", N_PAIRS))
 N_ITER = int(os.environ.get("RANSACFLOW_BENCH_NITER", N_ITER))
 _MIN_SIZE = int(os.environ.get("RANSACFLOW_BENCH_MINSIZE", 0))
 
-DEFAULT_MODES = ("scan", "chunk2", "chunk4", "chunk8", "chunkv2", "chunkv4")
+DEFAULT_MODES = ("scan", "chunk2", "chunk4", "chunk8", "chunkv2", "chunkv4",
+                 "chunkf2", "chunkf4")
 
 
 def main():

@@ -45,7 +45,7 @@ def test_fused_batch_modes_agree(rng, nets):
     pyramids, targets, keys = _batch(rng, 4)
     a = fused_align_batch(resnet, align, pyramids, targets, keys,
                           n_iter=256, batch_mode="scan")
-    for mode in ("vmap", "hybrid", "chunk2", "chunkv2"):
+    for mode in ("vmap", "hybrid", "chunk2", "chunkf2", "chunkv2"):
         b = fused_align_batch(resnet, align, pyramids, targets, keys,
                               n_iter=256, batch_mode=mode)
         np.testing.assert_allclose(np.asarray(a["H21"]), np.asarray(b["H21"]),
