@@ -296,15 +296,20 @@ def main():
     )
 
     stage_flops = fused_align_flops(shapes, ASPECT, n_iter=N_ITER)
-    peak = float(os.environ.get(
-        "RANSACFLOW_PEAK_FLOPS",
-        peak_flops_per_chip(devices[0].device_kind),
-    ))
-    mfu_pct = 100.0 * stage_flops["total"] * pairs_per_sec / peak
+    # peak_flops_per_chip returns None for unrecognized device kinds
+    # (e.g. a CPU smoke run): report mfu_pct as null rather than compute
+    # it against a fabricated peak
+    peak_env = os.environ.get("RANSACFLOW_PEAK_FLOPS")
+    peak = (float(peak_env) if peak_env
+            else peak_flops_per_chip(devices[0].device_kind))
+    mfu_pct = (None if peak is None
+               else 100.0 * stage_flops["total"] * pairs_per_sec / peak)
 
     # fp32 'scan' comparability point: the configuration every pre-round-4
-    # headline was recorded in (fp32 parity weights, sequential scan).
-    if dtype != "float32" and not os.environ.get("RANSACFLOW_BENCH_SKIP_FP32"):
+    # headline was recorded in (fp32 parity weights, sequential scan) —
+    # keyed on (dtype, mode) so e.g. a float32/chunk2 run still emits it.
+    if ((dtype, batch_mode) != ("float32", "scan")
+            and not os.environ.get("RANSACFLOW_BENCH_SKIP_FP32")):
         def run_f32(k):
             pyramids = build_pyramids(sources)
             out = fused_align_batch(
@@ -344,10 +349,13 @@ def main():
         # (scripts/bench_multihomo_dtype.py, round 4); geometry
         # consistency is tested
         # (test_multi_homography_fused_bf16_consistent_with_fp32)
-        mh3_bf16_pps, _ = bench_multihomo(
-            cast_params(resnet_params_f32, jnp.bfloat16),
-            cast_params(align_params_f32, jnp.bfloat16),
-            max_coarse=2)
+        if dtype == "bfloat16":
+            resnet_bf16, align_bf16 = resnet_params, align_params
+        else:
+            resnet_bf16 = cast_params(resnet_params_f32, jnp.bfloat16)
+            align_bf16 = cast_params(align_params_f32, jnp.bfloat16)
+        mh3_bf16_pps, _ = bench_multihomo(resnet_bf16, align_bf16,
+                                          max_coarse=2)
 
     # Acceptance-realistic variant: trained weights whose matchability
     # saturates (scripts/train_accept_weights.py) on a genuinely-aligned
@@ -382,7 +390,7 @@ def main():
                 "extra_metrics": {
                     "serving_config": f"{dtype}/{batch_mode}",
                     "fp32_scan_pairs_s": _round(fp32_scan_pps, 3),
-                    "mfu_pct": round(mfu_pct, 2),
+                    "mfu_pct": _round(mfu_pct, 2),
                     "model_gflops_per_pair": round(
                         stage_flops["total"] / 1e9, 2
                     ),
@@ -390,7 +398,8 @@ def main():
                         k: round(v / 1e9, 2)
                         for k, v in stage_flops.items() if k != "total"
                     },
-                    "peak_tflops_assumed": round(peak / 1e12, 1),
+                    "peak_tflops_assumed": _round(
+                        None if peak is None else peak / 1e12, 1),
                     "multihomo_hpatches50k_maxcoarse_exhausted_pairs_s":
                         _round(mh_pps, 3),
                     "multihomo_exhausted_avg_homographies":

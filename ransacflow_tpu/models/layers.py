@@ -38,9 +38,13 @@ def conv2d(x, weight, bias=None, stride=1, padding=1, groups=1, dilation=1):
     # (see scripts/bench_trunk.py int8 probe) — the raw int32 output is
     # returned as float for the elementwise epilogue to rescale.
     if weight.dtype == jnp.int8:
+        # saturate, don't wrap: float activations outside int8 range must
+        # clamp to ±127 (astype alone wraps, sign-flipping large values)
+        x8 = (jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
+              if jnp.issubdtype(x.dtype, jnp.floating)
+              else x.astype(jnp.int8))
         out = lax.conv_general_dilated(
-            jnp.round(x).astype(jnp.int8) if jnp.issubdtype(
-                x.dtype, jnp.floating) else x.astype(jnp.int8),
+            x8,
             weight,
             window_strides=stride,
             padding=padding,

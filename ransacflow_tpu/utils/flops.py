@@ -104,13 +104,16 @@ def ransac_flops(n_matches, n_iter):
 
 
 def fused_align_flops(pyramid_shapes, target_hw, n_iter=10000,
-                      kernel_size=7, cycle_match=True, stride=16):
+                      kernel_size=7, stride=16):
     """Per-pair FLOPs of the fused serving program, per stage.
 
     Mirrors `pipeline.fused.fused_align`: trunk over the source pyramid +
     the target, one dense matching matmul, RANSAC, then the fine stage
     (2 feature-extractor forwards, 2 correlation volumes, 1 flow head,
-    2 matchability heads). Returns {stage: flops} plus 'total'.
+    2 matchability heads — BOTH pred_flow_mask modes compute all of
+    these; `cycle_match` only changes the final elementwise multiply,
+    pipeline/fine.py:52-81, so it does not enter the count).
+    Returns {stage: flops} plus 'total'.
     """
     ht, wt = target_hw
     trunk = sum(resnet50_layer3_flops(h, w) for h, w in pyramid_shapes)
@@ -152,8 +155,13 @@ _PEAK_FLOPS_BY_KIND = (
 )
 
 
-def peak_flops_per_chip(device_kind, default=197e12):
-    """Map a jax Device.device_kind string to dense peak FLOP/s."""
+def peak_flops_per_chip(device_kind, default=None):
+    """Map a jax Device.device_kind string to dense peak FLOP/s.
+
+    Returns `default` (None unless overridden) for unrecognized kinds —
+    e.g. a CPU smoke run or a future TPU generation — so callers omit
+    the MFU figure instead of computing one against a fabricated peak.
+    """
     kind = device_kind.lower().replace(" ", "")
     for tag, peak in _PEAK_FLOPS_BY_KIND:
         if tag in kind:

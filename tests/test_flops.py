@@ -84,8 +84,11 @@ def test_fused_align_flops_stage_sum_and_shape():
     [
         ("TPU v5 lite", 197), ("TPU v5e", 197), ("TPU v5p", 459),
         ("TPU v4", 275), ("TPU v3", 123), ("TPU v6 lite", 918),
-        ("unknown accelerator", 197),
+        ("unknown accelerator", None),
     ],
 )
 def test_peak_flops_mapping(kind, peak_tflops):
-    assert peak_flops_per_chip(kind) == peak_tflops * 1e12
+    # unrecognized kinds return None so callers omit MFU rather than
+    # compute it against a fabricated peak
+    expected = None if peak_tflops is None else peak_tflops * 1e12
+    assert peak_flops_per_chip(kind) == expected

@@ -179,3 +179,16 @@ def test_conv2d_int8_weights_integer_accumulation():
             gold[i, j] = np.tensordot(
                 patch, w8.astype(np.int64), axes=([0, 1, 2], [0, 1, 2]))
     np.testing.assert_array_equal(np.asarray(out)[0].astype(np.int64), gold)
+
+
+def test_conv2d_int8_saturates_out_of_range_activations():
+    """Float activations beyond int8 range clamp to +/-127 instead of
+    wrapping (astype alone would turn 300.0 into 44 with a sign flip)."""
+    import jax.numpy as jnp
+    from ransacflow_tpu.models.layers import conv2d
+
+    x = jnp.full((1, 3, 3, 1), 300.0, jnp.float32)
+    w = np.zeros((1, 1, 1, 1), np.int8)
+    w[0, 0, 0, 0] = 2
+    out = conv2d(x, jnp.asarray(w), padding=0)
+    np.testing.assert_array_equal(np.asarray(out), np.full((1, 3, 3, 1), 254.0))
