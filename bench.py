@@ -326,6 +326,10 @@ def main():
             run_f32(jax.random.PRNGKey(s))
             el32 = min(el32, time.perf_counter() - t0)
         fp32_scan_pps = N_PAIRS / el32
+    elif (dtype, batch_mode) == ("float32", "scan"):
+        # the headline IS the fp32/scan measurement — emit it so the
+        # cross-round comparability series has no hole (ADVICE r4)
+        fp32_scan_pps = pairs_per_sec
     else:
         fp32_scan_pps = None
 
@@ -348,14 +352,19 @@ def main():
         # three slots fill under untrained matchability), +12% measured
         # (scripts/bench_multihomo_dtype.py, round 4); geometry
         # consistency is tested
-        # (test_multi_homography_fused_bf16_consistent_with_fp32)
-        if dtype == "bfloat16":
-            resnet_bf16, align_bf16 = resnet_params, align_params
+        # (test_multi_homography_fused_bf16_consistent_with_fp32).
+        # Separately skippable (ADVICE r4): it adds a 50k-iteration
+        # compile+measure pass to every invocation on the tunnel host.
+        if os.environ.get("RANSACFLOW_BENCH_SKIP_MH_BF16"):
+            mh3_bf16_pps = None
         else:
-            resnet_bf16 = cast_params(resnet_params_f32, jnp.bfloat16)
-            align_bf16 = cast_params(align_params_f32, jnp.bfloat16)
-        mh3_bf16_pps, _ = bench_multihomo(resnet_bf16, align_bf16,
-                                          max_coarse=2)
+            if dtype == "bfloat16":
+                resnet_bf16, align_bf16 = resnet_params, align_params
+            else:
+                resnet_bf16 = cast_params(resnet_params_f32, jnp.bfloat16)
+                align_bf16 = cast_params(align_params_f32, jnp.bfloat16)
+            mh3_bf16_pps, _ = bench_multihomo(resnet_bf16, align_bf16,
+                                              max_coarse=2)
 
     # Acceptance-realistic variant: trained weights whose matchability
     # saturates (scripts/train_accept_weights.py) on a genuinely-aligned

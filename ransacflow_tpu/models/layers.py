@@ -36,13 +36,18 @@ def conv2d(x, weight, bias=None, stride=1, padding=1, groups=1, dilation=1):
     # int8 weights select the MXU's int8 path (2x bf16 throughput on
     # v5e) with int32 accumulation; callers own the quantization scales
     # (see scripts/bench_trunk.py int8 probe) — the raw int32 output is
-    # returned as float for the elementwise epilogue to rescale.
+    # returned as float for the elementwise epilogue to rescale. NOTE:
+    # the float32 return is exact only for accumulations with magnitude
+    # < 2^24 (fp32 mantissa); with ±127 inputs that bound holds up to
+    # ~1040 accumulation taps (kh*kw*Cin), which covers every conv in
+    # this repo's int8 probes but is the caller's contract to respect.
     if weight.dtype == jnp.int8:
-        # saturate, don't wrap: float activations outside int8 range must
-        # clamp to ±127 (astype alone wraps, sign-flipping large values)
+        # saturate, don't wrap: activations outside int8 range must clamp
+        # to ±127 (astype alone wraps, sign-flipping large values) — for
+        # integer inputs exactly as for floats
         x8 = (jnp.clip(jnp.round(x), -127.0, 127.0).astype(jnp.int8)
               if jnp.issubdtype(x.dtype, jnp.floating)
-              else x.astype(jnp.int8))
+              else jnp.clip(x, -127, 127).astype(jnp.int8))
         out = lax.conv_general_dilated(
             x8,
             weight,

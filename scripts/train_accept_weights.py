@@ -10,7 +10,7 @@ pairs — the tests/test_learning.py recipe at full architecture — until the
 matchability head SATURATES on well-aligned content, which is what drives
 the reference's accept/exit dynamics
 (evaluation/evalHpatch/evaluation.py:225-243). The result is saved to
-scripts/assets/accept_weights.npz (fp16, ~9 MB) and loaded by
+scripts/assets/accept_weights.npz (fp16, ~11.5 MB) and loaded by
 `bench.py bench_multihomo(accept_params=...)`.
 
 Run on any backend (CPU works; ~10 min on the 1-core host):

@@ -192,3 +192,17 @@ def test_conv2d_int8_saturates_out_of_range_activations():
     w[0, 0, 0, 0] = 2
     out = conv2d(x, jnp.asarray(w), padding=0)
     np.testing.assert_array_equal(np.asarray(out), np.full((1, 3, 3, 1), 254.0))
+
+
+def test_conv2d_int8_saturates_integer_activations_too():
+    """Integer-dtype activations get the same saturate-don't-wrap treatment
+    as floats (ADVICE r4): int32 input 300 clamps to 127, -300 to -127."""
+    import jax.numpy as jnp
+    from ransacflow_tpu.models.layers import conv2d
+
+    x = jnp.asarray([[300], [-300], [60]], jnp.int32).reshape(1, 1, 3, 1)
+    w = np.zeros((1, 1, 1, 1), np.int8)
+    w[0, 0, 0, 0] = 2
+    out = conv2d(x, jnp.asarray(w), padding=0)
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(-1), [254.0, -254.0, 120.0])
