@@ -59,7 +59,7 @@ def pyramid_shapes(min_size=MIN_SIZE, aspect=ASPECT, nb_scale=7, scale_r=2.0,
 
 
 def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
-                    related=False):
+                    related=False, adaptive_chunk=0):
     """Reference-shaped eval path: full multi-homography loop at the
     HPatches config (minSize 480, 7 scales, 50k RANSAC iters, maxCoarse 10,
     maskRegionTh 0.01, match12-only fine stage —
@@ -148,6 +148,7 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
             feat_h=fy, feat_w=fx, max_coarse=max_coarse, cycle_match=False,
             kernel_size=7, n_iter=50000, n_points=4,
             transform="homography", rematch=False,
+            adaptive_chunk=adaptive_chunk,
         )
         # single sync closes the timed region
         return np.asarray(final["count"])
@@ -342,12 +343,18 @@ def main():
         # None -> JSON null; float('nan') would print a literal NaN token,
         # which is not valid RFC-8259 JSON
         mh_pps = mh_avg_h = mh3_pps = mh3_avg_h = mh3_bf16_pps = None
+        mh3_ad_pps = None
     else:
         mh_pps, mh_avg_h = bench_multihomo(resnet_params_f32,
                                            align_params_f32)
         mh3_pps, mh3_avg_h = bench_multihomo(resnet_params_f32,
                                              align_params_f32,
                                              max_coarse=2)
+        # adaptive early-exit twin of the 3-homography point: same fp32
+        # weights and loop, n_iter capped at 50k but confidence-stopped
+        mh3_ad_pps, _ = bench_multihomo(resnet_params_f32,
+                                        align_params_f32,
+                                        max_coarse=2, adaptive_chunk=4096)
         # bf16 point on the 3-homography config: identical work (all
         # three slots fill under untrained matchability), +12% measured
         # (scripts/bench_multihomo_dtype.py, round 4); geometry
@@ -384,8 +391,19 @@ def main():
         mha_pps, mha_avg_h = bench_multihomo(
             resnet_params_f32, accept_params, related=True
         )
+        # Confidence-based RANSAC early exit (round 5, opt-in mode;
+        # ops/ransac.ransac_homography_adaptive): n_iter 50k becomes a CAP
+        # — well-matched regions stop after ~one 4096-hypothesis block.
+        # The reference's host-chunked RANSAC has no stopping rule
+        # (utils/outil.py:136-160), so this series is a TPU-first beat,
+        # not parity. Distributional parity is tested
+        # (test_ransac_adaptive_distributional_parity).
+        mha_ad_pps, mha_ad_avg_h = bench_multihomo(
+            resnet_params_f32, accept_params, related=True,
+            adaptive_chunk=4096,
+        )
     else:
-        mha_pps = mha_avg_h = None
+        mha_pps = mha_avg_h = mha_ad_pps = mha_ad_avg_h = None
 
     print(
         json.dumps(
@@ -421,8 +439,14 @@ def main():
                     ),
                     "multihomo_hpatches50k_3homo_bf16_pairs_s":
                         _round(mh3_bf16_pps, 3),
+                    "multihomo_hpatches50k_3homo_adaptive_pairs_s":
+                        _round(mh3_ad_pps, 3),
                     "multihomo_accept_realistic_pairs_s": _round(mha_pps, 3),
                     "multihomo_accept_avg_homographies": _round(mha_avg_h, 2),
+                    "multihomo_accept_adaptive_pairs_s":
+                        _round(mha_ad_pps, 3),
+                    "multihomo_accept_adaptive_avg_homographies":
+                        _round(mha_ad_avg_h, 2),
                 },
             }
         )

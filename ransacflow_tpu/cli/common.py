@@ -85,3 +85,12 @@ def resolve_n_devices(args):
     if args.nDevices is None and getattr(args, "fused", False):
         return 1
     return args.nDevices
+
+
+def add_adaptive_flag(parser):
+    parser.add_argument(
+        "--adaptiveChunk", type=int, default=0,
+        help="confidence-based RANSAC early exit (opt-in TPU mode): "
+             "evaluate hypotheses in blocks of this size and stop once "
+             "the 0.999-confidence bound is met; --coarseIter becomes a "
+             "cap. 0 = fixed iteration count (reference-parity default)")

@@ -9,6 +9,7 @@
 import argparse
 
 from ransacflow_tpu.cli.common import (
+    add_adaptive_flag,
     add_model_args,
     add_segnet_args,
     add_fused_flag,
@@ -46,6 +47,7 @@ def main():
                         "artifacts, one dispatch+readback per batch)")
     p.add_argument("--endIndex", type=int, default=None)
     add_fused_flag(p)
+    add_adaptive_flag(p)
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -79,6 +81,7 @@ def main():
             bg_mask_fn=None if not args.segNet else
             (lambda row, hw, fn=build_sky_fn(args): fn(row, hw)),
             n_devices=resolve_n_devices(args), batch_pairs=args.batchPairs,
+            adaptive_chunk=args.adaptiveChunk,
         )
     else:
         from ransacflow_tpu.eval import evaluate_corr, PIXEL_GRID

@@ -11,6 +11,7 @@ import argparse
 import numpy as np
 
 from ransacflow_tpu.cli.common import (
+    add_adaptive_flag,
     add_model_args,
     add_segnet_args,
     add_fused_flag,
@@ -48,6 +49,7 @@ def main():
                         "artifacts, one dispatch+readback per batch)")
     p.add_argument("--endIndex", type=int, default=None)
     add_fused_flag(p)
+    add_adaptive_flag(p)
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -75,6 +77,7 @@ def main():
             bg_mask_fn=build_sky_fn(args),
             begin_index=args.beginIndex, end_index=args.endIndex,
             n_devices=resolve_n_devices(args), batch_pairs=args.batchPairs,
+            adaptive_chunk=args.adaptiveChunk,
         )
     else:
         from ransacflow_tpu.eval import evaluate_hpatches

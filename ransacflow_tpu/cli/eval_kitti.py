@@ -9,6 +9,7 @@
 import argparse
 
 from ransacflow_tpu.cli.common import (
+    add_adaptive_flag,
     add_model_args,
     add_segnet_args,
     load_align_params,
@@ -24,6 +25,7 @@ def main():
     p = sub.add_parser("predict")
     add_model_args(p)
     add_segnet_args(p)
+    add_adaptive_flag(p)
     p.add_argument("--testImg", type=str, required=True)
     p.add_argument("--outDir", type=str, required=True)
     p.add_argument("--coarseIter", type=int, default=50000)
@@ -67,6 +69,7 @@ def main():
             mask_region_th=args.maskRegionTh, cc_th=args.cc_th,
             begin_index=args.beginIndex, end_index=args.endIndex,
             bg_mask_fn=build_sky_fn(args),
+            adaptive_chunk=args.adaptiveChunk,
         )
         resnet = load_coarse_net(args.mocoPth, args.imageNetPth)
         align = load_align_params(args.resumePth, args.kernelSize)

@@ -12,6 +12,7 @@ import json
 import os
 
 from ransacflow_tpu.cli.common import (
+    add_adaptive_flag,
     add_model_args,
     add_segnet_args,
     add_fused_flag,
@@ -51,6 +52,7 @@ def main():
                         "into single multi-homography dispatches (identical "
                         "artifacts, one dispatch+readback per batch)")
     add_fused_flag(p)
+    add_adaptive_flag(p)
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -79,6 +81,7 @@ def main():
             # evalYFCC/coarseAlignFeatMatch.py:163-169) — unlike the other
             # eval harnesses, which filter one cached match set
             rematch_per_call=True,
+            adaptive_chunk=args.adaptiveChunk,
         )
         resnet = load_coarse_net(args.mocoPth, args.imageNetPth)
         align = load_align_params(args.resumePth, args.kernelSize)

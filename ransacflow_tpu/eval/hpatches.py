@@ -41,6 +41,7 @@ def predict_hpatches(
     end_index=None,
     n_devices=None,
     batch_pairs=None,
+    adaptive_chunk=0,
 ):
     """Run prediction for HPatches scenes 1-2..1-6.
 
@@ -56,6 +57,7 @@ def predict_hpatches(
     coarse_kwargs = dict(
         nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
         min_size=min_size, scale_r=scale_r, resize_mode="min",
+        adaptive_chunk=adaptive_chunk,
     )
     if n_devices is None:
         coarse = CoarseAligner(resnet_params, **coarse_kwargs)

@@ -191,6 +191,7 @@ class BatchedMultiHomoDispatcher:
                     feat_h=aligner.feat_h, feat_w=aligner.feat_w,
                     n_iter=aligner.n_iter, n_points=aligner.n_points,
                     transform=aligner.transform, rematch=aligner.rematch,
+                    adaptive_chunk=aligner.adaptive_chunk,
                 ),
                 "tolerance": aligner.tolerance,
                 "entries": [],

@@ -38,7 +38,11 @@ from ransacflow_tpu.ops.homography import (
 )
 from ransacflow_tpu.ops.saliency import saliency_coef
 from ransacflow_tpu.ops.matching import mutual_matching
-from ransacflow_tpu.ops.ransac import ransac_homography, RansacResult
+from ransacflow_tpu.ops.ransac import (
+    ransac_homography,
+    ransac_homography_adaptive,
+    RansacResult,
+)
 from ransacflow_tpu.ops.blurpool import blur_pool, blur_pool_1d, binomial_filter
 from ransacflow_tpu.ops.correlation import correlation_volume, corr_offset_grids
 from ransacflow_tpu.ops.ssim import masked_ssim_loss, gaussian_window

@@ -27,6 +27,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ransacflow_tpu.ops.homography import (
     dlt_homography,
@@ -59,6 +60,39 @@ def _sample_minimal_sets(key, n_valid, n_points, n_iter):
     eq = raw[:, :, None] == raw[:, None, :]
     dup = jnp.sum(eq, axis=(1, 2)) > n_points  # diagonal contributes n_points
     return raw, ~dup
+
+
+def _solve_models(X, Y, transform, det_gate, dlt_method):
+    """Fit one model per minimal set; returns (H21 (n, 3, 3), model_ok (n,))."""
+    n = X.shape[0]
+    if transform == "affine":
+        return fit_affine(X, Y), jnp.ones((n,), dtype=bool)
+    H21 = dlt_homography(X, Y, method=dlt_method)
+    dets = jnp.linalg.det(H21)
+    if det_gate == "signed":
+        return H21, dets > DET_EPS
+    return H21, jnp.abs(dets) > DET_EPS
+
+
+def _make_count_chunk(match1, match2, valid, tolerance):
+    """Closure scoring a hypothesis chunk, MXU-shaped: three (N, 3) @
+    (3, n_hyp) matmuls give the projected homogeneous coordinates of every
+    match under every hypothesis; the squared-error compare and the inlier
+    count fuse into the matmul consumers. err < tol == err^2 < tol^2."""
+
+    def count_chunk(H_chunk):
+        ex = jnp.dot(match2, H_chunk[:, 0, :].T,
+                     preferred_element_type=jnp.float32)
+        ey = jnp.dot(match2, H_chunk[:, 1, :].T,
+                     preferred_element_type=jnp.float32)
+        ez = jnp.dot(match2, H_chunk[:, 2, :].T,
+                     preferred_element_type=jnp.float32)
+        du = ex / ez - match1[:, 0:1]  # (N, chunk)
+        dv = ey / ez - match1[:, 1:2]
+        hit = (du * du + dv * dv < tolerance * tolerance) & valid[:, None]
+        return jnp.sum(hit, axis=0).astype(jnp.int32)
+
+    return count_chunk
 
 
 @partial(
@@ -127,32 +161,8 @@ def ransac_homography(
     X = XY[..., :3]  # (n_iter, n_points, 3)
     Y = XY[..., 3:]
 
-    if transform == "affine":
-        H21 = fit_affine(X, Y)
-        model_ok = jnp.ones((n_iter,), dtype=bool)
-    else:
-        H21 = dlt_homography(X, Y, method=dlt_method)
-        dets = jnp.linalg.det(H21)
-        if det_gate == "signed":
-            model_ok = dets > DET_EPS
-        else:
-            model_ok = jnp.abs(dets) > DET_EPS
-
-    # score ALL hypotheses, MXU-shaped: three (N, 3) @ (3, n_hyp) matmuls
-    # give the projected homogeneous coordinates of every match under every
-    # hypothesis; the squared-error compare and the inlier count fuse into
-    # the matmul consumers. err < tol == err^2 < tol^2.
-    def count_chunk(H_chunk):
-        ex = jnp.dot(match2, H_chunk[:, 0, :].T,
-                     preferred_element_type=jnp.float32)
-        ey = jnp.dot(match2, H_chunk[:, 1, :].T,
-                     preferred_element_type=jnp.float32)
-        ez = jnp.dot(match2, H_chunk[:, 2, :].T,
-                     preferred_element_type=jnp.float32)
-        du = ex / ez - match1[:, 0:1]  # (N, chunk)
-        dv = ey / ez - match1[:, 1:2]
-        hit = (du * du + dv * dv < tolerance * tolerance) & valid[:, None]
-        return jnp.sum(hit, axis=0).astype(jnp.int32)
+    H21, model_ok = _solve_models(X, Y, transform, det_gate, dlt_method)
+    count_chunk = _make_count_chunk(match1, match2, valid, tolerance)
 
     if n_iter * N <= SCORE_ELEMS_LIMIT:
         counts = count_chunk(H21)
@@ -173,3 +183,122 @@ def ransac_homography(
     n_inl = counts[best]
     found = (n_inl > 0) & (n_valid >= n_points)
     return RansacResult(best_H, n_inl, best_inliers, found, sample_of(best))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_iter", "chunk", "n_points", "transform", "det_gate", "dlt_method",
+    ),
+)
+def ransac_homography_adaptive(
+    key,
+    match1,
+    match2,
+    valid,
+    tolerance,
+    n_iter=50000,
+    chunk=4096,
+    confidence=0.999,
+    n_points=4,
+    transform="homography",
+    det_gate="abs",
+    dlt_method="projective",
+):
+    """RANSAC with confidence-based early termination (opt-in mode).
+
+    Classic adaptive stopping (Fischler & Bolles; Hartley & Zisserman
+    Alg. 4.5): with current best inlier ratio ``w`` over the valid matches,
+    the number of hypotheses needed to draw one all-inlier minimal set with
+    probability ``confidence`` is ``n_req = log(1-confidence) /
+    log(1-w^n_points)``. Hypotheses are generated and scored in fixed-size
+    ``chunk`` blocks inside a ``lax.while_loop``; the loop exits as soon as
+    the number evaluated covers ``n_req`` (or ``n_iter`` is exhausted).
+
+    The reference CANNOT do this: its RANSAC streams fixed chunks of 100
+    hypotheses through a host numpy SVD loop with no stopping rule
+    (utils/outil.py:136-160), so the 50k-iteration eval configs always pay
+    full price. Here the whole loop stays device-resident — one extra
+    while-iteration of latency per chunk, no host syncs — so typical pairs
+    (inlier ratio >= ~0.25 => n_req < 4k) pay for ONE chunk instead of
+    50k hypotheses. Fixed-``n_iter`` `ransac_homography` remains the
+    parity default.
+
+    Every chunk re-applies the same duplicate-index and degenerate-det
+    masks as the fixed-count path, so the surviving hypothesis
+    distribution is identical — only the stopping time differs
+    (distributional parity: tests/test_matching_ransac.py).
+
+    Args mirror `ransac_homography`; additionally:
+      chunk: hypotheses per while-loop block (static).
+      confidence: stopping confidence (traced; default 0.999).
+
+    Returns (RansacResult, n_evaluated) where n_evaluated is the number of
+    hypotheses actually generated+scored (a multiple of ``chunk``, capped
+    at ``ceil(n_iter/chunk)*chunk``).
+    """
+    N = match1.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    n_chunks = -(-n_iter // chunk)
+
+    m12 = jnp.concatenate([match1, match2], axis=1)  # (N, 6)
+    order = jnp.argsort(~valid, stable=True)
+    m12o = m12[order]  # valid-first data permutation, applied once
+    count_chunk = _make_count_chunk(match1, match2, valid, tolerance)
+
+    conf = jnp.asarray(confidence, jnp.float32)
+
+    def cond(st):
+        return (~st["done"]) & (st["i"] < n_chunks)
+
+    def body(st):
+        k = jax.random.fold_in(key, st["i"])
+        raw, unique = _sample_minimal_sets(k, n_valid, n_points, chunk)
+        XY = m12o[raw]  # (chunk, n_points, 6) — one 48-byte-row gather
+        H21, model_ok = _solve_models(
+            XY[..., :3], XY[..., 3:], transform, det_gate, dlt_method
+        )
+        counts = count_chunk(H21) * (unique & model_ok).astype(jnp.int32)
+        c_best = jnp.argmax(counts)
+        better = counts[c_best] > st["best_count"]
+        best_count = jnp.where(better, counts[c_best], st["best_count"])
+        best_H = jnp.where(better, H21[c_best], st["best_H"])
+        best_sample = jnp.where(better, order[raw[c_best]],
+                                st["best_sample"])
+        evaluated = (st["i"] + 1) * chunk
+        # required draws for the current best ratio. log1p, not log(1-x):
+        # for small w, 1 - w^4 rounds to 1.0 in fp32 and log() returns an
+        # exact 0 => n_req = -inf => spurious instant stop. The minimum()
+        # clamp keeps the denominator strictly negative at w == 0 (where
+        # log1p(-0) == 0 would divide to -inf again) => n_req ~ 7e30,
+        # i.e. keep going until n_iter exhausts.
+        w = best_count.astype(jnp.float32) / jnp.maximum(n_valid, 1)
+        w4 = jnp.minimum(w ** n_points, 1.0 - 1e-7)
+        denom = jnp.minimum(jnp.log1p(-w4), -1e-30)
+        n_req = jnp.log1p(-conf) / denom
+        done = evaluated >= jnp.minimum(n_req, float(n_iter))
+        return {
+            "i": st["i"] + 1,
+            "best_count": best_count,
+            "best_H": best_H,
+            "best_sample": best_sample,
+            "done": done,
+        }
+
+    init = {
+        "i": jnp.int32(0),
+        "best_count": jnp.int32(0),
+        "best_H": jnp.eye(3, dtype=match1.dtype),
+        "best_sample": jnp.zeros((n_points,), jnp.int32),
+        "done": jnp.asarray(False),
+    }
+    st = lax.while_loop(cond, body, init)
+
+    best_err = reprojection_error(match1, match2, st["best_H"][None])[0]
+    best_inliers = (best_err < tolerance) & valid & (st["best_count"] > 0)
+    found = (st["best_count"] > 0) & (n_valid >= n_points)
+    res = RansacResult(
+        st["best_H"], st["best_count"], best_inliers, found,
+        st["best_sample"],
+    )
+    return res, st["i"] * chunk

@@ -21,7 +21,10 @@ from ransacflow_tpu.models.resnet50 import resnet50_layer3, imagenet_preprocess
 from ransacflow_tpu.models.layers import l2_normalize
 from ransacflow_tpu.ops.grid import feature_cell_coords
 from ransacflow_tpu.ops.matching import mutual_matching
-from ransacflow_tpu.ops.ransac import ransac_homography
+from ransacflow_tpu.ops.ransac import (
+    ransac_homography,
+    ransac_homography_adaptive,
+)
 from ransacflow_tpu.ops.homography import dlt_homography_np
 from ransacflow_tpu.ops.sampler import interpolate_bilinear
 from ransacflow_tpu.utils.image import (
@@ -108,6 +111,12 @@ class CoarseAligner:
         (models/resnet50.py `_stem_s2d`) — opt-in; reassociates fp sums,
         keep off for bit-level parity runs (and see the negative
         end-to-end result in its docstring).
+      adaptive_chunk: > 0 switches RANSAC (here and in the fused
+        multi-homography loop) to confidence-based early termination
+        (`ops.ransac.ransac_homography_adaptive`) with this hypothesis
+        block size; n_iter becomes the cap instead of the exact count.
+        0 = fixed-count parity default. Ignored when injected_samples
+        is used (the deterministic parity mode needs the exact set).
     """
 
     def __init__(
@@ -125,10 +134,12 @@ class CoarseAligner:
         seed=0,
         device=None,
         stem_s2d=False,
+        adaptive_chunk=0,
     ):
         self.params = resnet_params
         self.device = device
         self.stem_s2d = bool(stem_s2d)
+        self.adaptive_chunk = int(adaptive_chunk)
         self.n_iter = int(n_iter)
         self.tolerance = float(tolerance)
         self.transform = transform
@@ -263,20 +274,33 @@ class CoarseAligner:
         self._key, sub = jax.random.split(self._key)
         if injected_samples is not None:
             injected_samples = jnp.asarray(injected_samples, jnp.int32)
-        res = ransac_homography(
-            sub,
-            m1,
-            m2,
-            valid,
-            self.tolerance,
-            n_iter=(
-                self.n_iter if injected_samples is None
-                else injected_samples.shape[0]
-            ),
-            n_points=self.n_points,
-            transform=self.transform,
-            injected_samples=injected_samples,
-        )
+        if self.adaptive_chunk and injected_samples is None:
+            res, _ = ransac_homography_adaptive(
+                sub,
+                m1,
+                m2,
+                valid,
+                self.tolerance,
+                n_iter=self.n_iter,
+                chunk=self.adaptive_chunk,
+                n_points=self.n_points,
+                transform=self.transform,
+            )
+        else:
+            res = ransac_homography(
+                sub,
+                m1,
+                m2,
+                valid,
+                self.tolerance,
+                n_iter=(
+                    self.n_iter if injected_samples is None
+                    else injected_samples.shape[0]
+                ),
+                n_points=self.n_points,
+                transform=self.transform,
+                injected_samples=injected_samples,
+            )
         if not bool(res.found):
             return None, None
 

@@ -17,7 +17,10 @@ from ransacflow_tpu.models.resnet50 import resnet50_layer3, imagenet_preprocess
 from ransacflow_tpu.models.layers import l2_normalize
 from ransacflow_tpu.ops.grid import feature_cell_coords
 from ransacflow_tpu.ops.matching import mutual_matching
-from ransacflow_tpu.ops.ransac import ransac_homography
+from ransacflow_tpu.ops.ransac import (
+    ransac_homography,
+    ransac_homography_adaptive,
+)
 from ransacflow_tpu.ops.homography import warp_grid
 from ransacflow_tpu.pipeline.fine import pred_flow_mask, fine_features
 
@@ -89,7 +92,8 @@ def _coarse_match(resnet_params, pyramid, target, stem_s2d=False):
 
 @partial(
     jax.jit,
-    static_argnames=("n_iter", "kernel_size", "cycle_match", "stem_s2d"),
+    static_argnames=("n_iter", "kernel_size", "cycle_match", "stem_s2d",
+                     "adaptive_chunk"),
 )
 def fused_align(
     resnet_params,
@@ -102,6 +106,7 @@ def fused_align(
     kernel_size=7,
     cycle_match=True,
     stem_s2d=False,
+    adaptive_chunk=0,
 ):
     """Align one pair entirely on device.
 
@@ -116,12 +121,22 @@ def fused_align(
     """
     m1, m2, valid = _coarse_match(resnet_params, pyramid, target,
                                   stem_s2d=stem_s2d)
-    res = ransac_homography(
-        key, m1, m2, valid, tolerance, n_iter=n_iter
-    )
+    res = _ransac(key, m1, m2, valid, tolerance, n_iter, adaptive_chunk)
     return _fine_with_gate(
         align_params, pyramid, target, res, cycle_match, kernel_size
     )
+
+
+def _ransac(key, m1, m2, valid, tolerance, n_iter, adaptive_chunk):
+    """Fixed-count RANSAC, or confidence-early-exit when adaptive_chunk > 0
+    (ops/ransac.ransac_homography_adaptive; n_iter becomes the cap)."""
+    if adaptive_chunk:
+        res, _ = ransac_homography_adaptive(
+            key, m1, m2, valid, tolerance, n_iter=n_iter,
+            chunk=adaptive_chunk,
+        )
+        return res
+    return ransac_homography(key, m1, m2, valid, tolerance, n_iter=n_iter)
 
 
 def _fine_with_gate(align_params, pyramid, target, res, cycle_match,
@@ -162,7 +177,7 @@ def _fine_with_gate(align_params, pyramid, target, res, cycle_match,
 @partial(
     jax.jit,
     static_argnames=("n_iter", "kernel_size", "cycle_match", "batch_mode",
-                     "stem_s2d"),
+                     "stem_s2d", "adaptive_chunk"),
 )
 def fused_align_batch(
     resnet_params,
@@ -176,6 +191,7 @@ def fused_align_batch(
     cycle_match=True,
     batch_mode="scan",
     stem_s2d=False,
+    adaptive_chunk=0,
 ):
     """Run `fused_align` over a batch of pairs resident on device.
 
@@ -204,6 +220,7 @@ def fused_align_batch(
         return fused_align(
             resnet_params, align_params, tuple(pyr), tgt, k,
             tolerance, n_iter, kernel_size, cycle_match, stem_s2d,
+            adaptive_chunk,
         )
 
     if batch_mode == "vmap":
@@ -217,9 +234,8 @@ def fused_align_batch(
 
         def r_body(_, inp):
             k, a, b, v = inp
-            return None, ransac_homography(
-                k, a, b, v, tolerance, n_iter=n_iter
-            )
+            return None, _ransac(k, a, b, v, tolerance, n_iter,
+                                 adaptive_chunk)
 
         _, res = jax.lax.scan(r_body, None, (keys, m1, m2, valid))
 
@@ -265,9 +281,8 @@ def fused_align_batch(
                 # the MXU with its live set bounded to k pairs, not K
                 def r_body(_, i2):
                     k, a, b, v = i2
-                    return None, ransac_homography(
-                        k, a, b, v, tolerance, n_iter=n_iter
-                    )
+                    return None, _ransac(k, a, b, v, tolerance, n_iter,
+                                         adaptive_chunk)
 
                 _, res = jax.lax.scan(r_body, None, (ks, m1, m2, valid))
                 return None, jax.vmap(
@@ -279,7 +294,8 @@ def fused_align_batch(
 
             def rf_body(_, i2):
                 k, a, b, v, py, t = i2
-                res = ransac_homography(k, a, b, v, tolerance, n_iter=n_iter)
+                res = _ransac(k, a, b, v, tolerance, n_iter,
+                              adaptive_chunk)
                 return None, _fine_with_gate(
                     align_params, tuple(py), t, res, cycle_match, kernel_size
                 )

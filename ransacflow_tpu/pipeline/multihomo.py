@@ -15,7 +15,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ransacflow_tpu.ops.homography import warp_grid
-from ransacflow_tpu.ops.ransac import ransac_homography
+from ransacflow_tpu.ops.ransac import (
+    ransac_homography,
+    ransac_homography_adaptive,
+)
 from ransacflow_tpu.pipeline.coarse import (
     _homogeneous_matches,
     _mask_to_cells,
@@ -98,14 +101,14 @@ def multi_homography_predict(
     jax.jit,
     static_argnames=(
         "feat_h", "feat_w", "max_coarse", "cycle_match", "kernel_size",
-        "n_iter", "n_points", "transform", "rematch",
+        "n_iter", "n_points", "transform", "rematch", "adaptive_chunk",
     ),
 )
 def _fused_multi_homo(
     params, bank, featt_c, coords_a, coords_b, cached_src, cached_valid,
     src, featt_fine, bg_mask, key, tolerance, mask_region_th,
     *, feat_h, feat_w, max_coarse, cycle_match, kernel_size, n_iter,
-    n_points, transform, rematch,
+    n_points, transform, rematch, adaptive_chunk=0,
 ):
     """The whole multi-homography loop as ONE device program.
 
@@ -115,6 +118,13 @@ def _fused_multi_homo(
     lives in a fixed-shape `lax.while_loop` carry; the host pulls one
     result at the end. No fp64 re-polish of the winning minimal sets (use
     the host loop for exact reference numerics).
+
+    adaptive_chunk > 0 switches each RANSAC fit to the confidence-based
+    early-exit mode (`ransac_homography_adaptive`, chunk size =
+    adaptive_chunk, confidence 0.999): the per-homography hypothesis cost
+    drops from n_iter to ~one chunk on well-matched regions while the
+    hypothesis distribution is unchanged. 0 = fixed n_iter (parity
+    default).
     """
     ht, wt = bg_mask.shape
     h8, w8 = featt_fine.shape[1:3]
@@ -134,10 +144,17 @@ def _fused_multi_homo(
         )
         m1, m2 = _homogeneous_matches(coords_a, coords_b, src_idx)
         key, sub = jax.random.split(st["key"])
-        res = ransac_homography(
-            sub, m1, m2, valid, tolerance, n_iter=n_iter,
-            n_points=n_points, transform=transform,
-        )
+        if adaptive_chunk:
+            res, _ = ransac_homography_adaptive(
+                sub, m1, m2, valid, tolerance, n_iter=n_iter,
+                chunk=adaptive_chunk, n_points=n_points,
+                transform=transform,
+            )
+        else:
+            res = ransac_homography(
+                sub, m1, m2, valid, tolerance, n_iter=n_iter,
+                n_points=n_points, transform=transform,
+            )
         h_used = jnp.where(res.found, res.H21,
                            jnp.eye(3, dtype=res.H21.dtype))
         flow_coarse = warp_grid(h_used[None], ht, wt)
@@ -186,14 +203,14 @@ def _fused_multi_homo(
     jax.jit,
     static_argnames=(
         "feat_h", "feat_w", "max_coarse", "cycle_match", "kernel_size",
-        "n_iter", "n_points", "transform", "rematch",
+        "n_iter", "n_points", "transform", "rematch", "adaptive_chunk",
     ),
 )
 def _fused_multi_homo_batch(
     params, banks, featts_c, coords_a, coords_b, cached_srcs, cached_valids,
     srcs, featts_fine, bg_masks, keys, tolerance, mask_region_th,
     *, feat_h, feat_w, max_coarse, cycle_match, kernel_size, n_iter,
-    n_points, transform, rematch,
+    n_points, transform, rematch, adaptive_chunk=0,
 ):
     """`_fused_multi_homo` over a stack of same-shape pairs in ONE program.
 
@@ -213,7 +230,7 @@ def _fused_multi_homo_batch(
             feat_h=feat_h, feat_w=feat_w, max_coarse=max_coarse,
             cycle_match=cycle_match, kernel_size=kernel_size,
             n_iter=n_iter, n_points=n_points, transform=transform,
-            rematch=rematch,
+            rematch=rematch, adaptive_chunk=adaptive_chunk,
         )
         # the full-res mask is loop state, not a result; don't stack it
         out.pop("mask")
@@ -262,6 +279,7 @@ def multi_homography_dispatch(
         cycle_match=cycle_match, kernel_size=kernel_size,
         n_iter=coarse.n_iter, n_points=coarse.n_points,
         transform=coarse.transform, rematch=coarse.rematch,
+        adaptive_chunk=coarse.adaptive_chunk,
     )
     return final, bg
 

@@ -139,3 +139,36 @@ def test_fused_align_gates_on_ransac_failure(rng, nets):
     # flow_down8 is a RESIDUAL (consumers compose clip(upsample(.) + grid)),
     # so its no-op fallback is zeros, not an identity grid
     assert float(jnp.max(jnp.abs(out["flow_down8"]))) == 0.0
+
+
+def test_fused_adaptive_chunk_consistent_with_fixed(rng, nets):
+    """adaptive_chunk on the serving path recovers the same homography on a
+    clearly-matchable pair while capping (not fixing) the hypothesis count;
+    different PRNG chunking => compare the fitted transform, not bits."""
+    from ransacflow_tpu.ops import warp_grid, grid_sample
+
+    resnet, align = nets
+    h = w = 128
+    base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
+    src = np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
+    H_true = np.array([[1, 0, 0.25], [0, 1, 0.25], [0, 0, 1]], np.float32)
+    g = warp_grid(jnp.asarray(H_true)[None], h, w)
+    tgt = np.asarray(grid_sample(jnp.asarray(src)[None], g))[0]
+    pyr = (jnp.asarray(src)[None],)
+    t = jnp.asarray(tgt)[None]
+
+    fx = fused_align(resnet, align, pyr, t, jax.random.PRNGKey(0),
+                     n_iter=2048)
+    ad = fused_align(resnet, align, pyr, t, jax.random.PRNGKey(0),
+                     n_iter=2048, adaptive_chunk=512)
+    assert bool(fx["found"]) and bool(ad["found"])
+    np.testing.assert_allclose(np.asarray(fx["H21"]), np.asarray(ad["H21"]),
+                               atol=0.05)
+    # batch path accepts the flag too (scan + chunk modes share _ransac)
+    k = 2
+    pyrs = (jnp.stack([pyr[0]] * k),)
+    ts = jnp.stack([t] * k)
+    keys = jax.random.split(jax.random.PRNGKey(3), k)
+    outs = fused_align_batch(resnet, align, pyrs, ts, keys, n_iter=1024,
+                             batch_mode="chunk2", adaptive_chunk=512)
+    assert np.asarray(outs["found"]).all()
