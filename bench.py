@@ -59,7 +59,8 @@ def pyramid_shapes(min_size=MIN_SIZE, aspect=ASPECT, nb_scale=7, scale_r=2.0,
 
 
 def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
-                    related=False, adaptive_chunk=0):
+                    related=False, adaptive_chunk=0, mask_region_th=0.01,
+                    n_iter=50000):
     """Reference-shaped eval path: full multi-homography loop at the
     HPatches config (minSize 480, 7 scales, 50k RANSAC iters, maxCoarse 10,
     maskRegionTh 0.01, match12-only fine stage —
@@ -144,9 +145,9 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
         )
         final = _fused_multi_homo_batch(
             align_params, banks, featts, coords_a, coords_b,
-            src_idx, valids, mids, ffines, bgs, keys, 0.05, 0.01,
+            src_idx, valids, mids, ffines, bgs, keys, 0.05, mask_region_th,
             feat_h=fy, feat_w=fx, max_coarse=max_coarse, cycle_match=False,
-            kernel_size=7, n_iter=50000, n_points=4,
+            kernel_size=7, n_iter=n_iter, n_points=4,
             transform="homography", rematch=False,
             adaptive_chunk=adaptive_chunk,
         )

@@ -8,6 +8,18 @@ Usage:
 
 `--stage {1,2,3}` applies the reference's stage1/2/3.sh presets; explicit
 flags override. `--nDevices N` enables data-parallel training over a mesh.
+
+Multi-host (pod slice beyond one host): launch the SAME command on every
+host with `--distributed` and `--nDevices <global device count>`; JAX's
+cluster env (TPU metadata, or JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+JAX_PROCESS_ID elsewhere) wires the processes together:
+
+  python -m ransacflow_tpu.cli.train --distributed --nDevices 32 \
+      --batchSize 64 --trainImgDir ... --outDir ... --stage 1 NoVal
+
+Each process loads a disjoint shard of the pair list (the reference's
+DistributedSampler role, segNet/lib/utils/data/distributed.py:7-57);
+process 0 owns validation and checkpoints. --batchSize is GLOBAL.
 """
 
 import argparse
@@ -39,6 +51,12 @@ def main():
     parser.add_argument("--stage", type=int, choices=[1, 2, 3], default=None,
                         help="curriculum preset (stage1/2/3.sh)")
     parser.add_argument("--nDevices", type=int, default=1)
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: call jax.distributed.initialize() "
+                             "before touching devices (run the same command "
+                             "on every host of the slice; --nDevices is the "
+                             "GLOBAL device count, --batchSize the global "
+                             "batch)")
     parser.add_argument("--computeDtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="mixed-precision conv compute (fp32 masters)")
@@ -60,6 +78,13 @@ def main():
     noval.add_argument("--epochSaveModel", type=int, default=10)
 
     args = parser.parse_args()
+
+    if args.distributed:
+        # must run before any other jax API touches the backend
+        jax.distributed.initialize()
+        print(f"distributed: process {jax.process_index()} of "
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
 
     cfg = dict(mode="flow", mu_cycle=0.0, lambda_match=0.01,
                grad_weight=0.0, epochs=150)

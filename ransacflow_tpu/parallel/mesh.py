@@ -16,9 +16,18 @@ from jax import shard_map
 from ransacflow_tpu.ops.ransac import ransac_homography
 
 
-def make_mesh(n_devices=None, axis="data"):
-    """1-D mesh over the first n local devices."""
-    devices = jax.devices()
+def make_mesh(n_devices=None, axis="data", devices=None):
+    """1-D mesh over the first n devices (or an explicit device list).
+
+    `jax.devices()` is GLOBAL: under multi-process JAX (one process per
+    host of a pod slice, `jax.distributed.initialize()`) it lists every
+    device of every process, so the default mesh already spans hosts —
+    the multi-host story is a data-sharding question (train/loop.py), not
+    a mesh question. Pass `devices` to pin an explicit list/order (tests
+    use a permuted list to prove layout-independence).
+    """
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
@@ -37,7 +46,7 @@ def shard_batch(tree, mesh, axis="data"):
 
 def sharded_align_pairs(mesh, resnet_params, align_params, pyramids, targets,
                         keys, tolerance=0.05, n_iter=10000, kernel_size=7,
-                        cycle_match=True):
+                        cycle_match=True, adaptive_chunk=0):
     """Shard a batch of same-shape pairs across the mesh and run the fused
     coarse+fine program on each device's shard (the v5e-8 serving layout:
     pairs are embarrassingly parallel, params replicated, zero collectives
@@ -61,6 +70,7 @@ def sharded_align_pairs(mesh, resnet_params, align_params, pyramids, targets,
         return fused_align_batch(
             resnet_params, align_params, tuple(pyrs), tgts, ks,
             tolerance, n_iter, kernel_size, cycle_match,
+            adaptive_chunk=adaptive_chunk,
         )
 
     f = shard_map(

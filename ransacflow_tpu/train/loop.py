@@ -26,6 +26,41 @@ from ransacflow_tpu.utils.monitor import MetricsLogger
 from ransacflow_tpu.ops.grid import normalized_grid
 from ransacflow_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 
+
+def process_shard_layout(batch_size, n_devices, process_index, process_count):
+    """Validate + derive the per-process share of a multi-host DP layout.
+
+    Returns (host_batch, local_devices): how many pairs this process loads
+    per step and how many mesh devices its data covers. The device mesh is
+    GLOBAL (jax.devices() under multi-process JAX lists all hosts'
+    devices, process 0's first), so process p's host_batch rows land on
+    mesh positions [p * local_devices, (p+1) * local_devices) — exactly
+    the shards `jax.make_array_from_process_local_data` expects each
+    process to provide. Pure shard math, unit-tested without multiple
+    processes (tests/test_parallel.py).
+
+    The reference's counterpart is the vendored DistributedSampler
+    (segNet/lib/utils/data/distributed.py:7-57): rank-strided indices over
+    one global dataset; here PairFolder(shard_index=process_index,
+    num_shards=process_count) plays that role and this function sizes the
+    per-rank batch.
+    """
+    if process_count < 1 or not 0 <= process_index < process_count:
+        raise ValueError(
+            f"bad process grid: index {process_index} of {process_count}")
+    if n_devices % process_count:
+        raise ValueError(
+            f"n_devices ({n_devices}) must be divisible by the process "
+            f"count ({process_count}) — every host contributes the same "
+            f"number of mesh devices")
+    if batch_size % n_devices:
+        raise ValueError(
+            f"batch_size ({batch_size}) must be divisible by n_devices "
+            f"({n_devices})")
+    local_devices = n_devices // process_count
+    host_batch = batch_size // process_count
+    return host_batch, local_devices
+
 # stage presets (reference train/stage{1,2,3}.sh): mode, mu_cycle,
 # lambda_match, grad, epochs
 STAGES = {
@@ -63,14 +98,38 @@ def fit(
     max_steps_per_epoch=None,
     compute_dtype=None,
     remat=False,
+    process_index=None,
+    process_count=None,
 ):
     """Train the alignment nets. Returns (params, best_prec).
 
     compute_dtype='bfloat16' enables the mixed-precision policy (fp32
     master weights, bf16 conv compute — see make_train_step).
+
+    Multi-host (pod-slice) training: launch one process per host with
+    `jax.distributed.initialize()` done first (cli/train.py --distributed)
+    and n_devices = the GLOBAL device count. Each process then loads a
+    disjoint rank-strided shard of the pair list (PairFolder
+    shard_index/num_shards — the reference's DistributedSampler,
+    segNet/lib/utils/data/distributed.py:7-57), feeds its local mesh
+    shards via jax.make_array_from_process_local_data, and the psum'd DP
+    step makes every process hold identical replicated params; process 0
+    owns validation + checkpoints. process_index/process_count default to
+    jax.process_index()/jax.process_count() — override only in tests.
+    `batch_size` is always the GLOBAL batch.
     """
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_index is None:
+        process_index = jax.process_index()
+    is_chief = process_index == 0
+    if process_count > 1 and n_devices <= 1:
+        raise ValueError(
+            "multi-process training needs a device mesh: pass n_devices = "
+            "the global device count (len(jax.devices()))")
+
     os.makedirs(out_dir, exist_ok=True)
-    logger = MetricsLogger(out_dir)
+    logger = MetricsLogger(out_dir, echo=is_chief) if is_chief else None
 
     loss_kwargs = dict(mode=mode, mu_cycle=mu_cycle,
                        lambda_match=lambda_match, grad_weight=grad_weight,
@@ -79,10 +138,12 @@ def fit(
     init_opt, step_fn = make_train_step(**loss_kwargs)
     opt_state = init_opt(params)
 
+    host_batch, local_devices = process_shard_layout(
+        batch_size, max(n_devices, 1), process_index, process_count)
+
     if n_devices > 1:
         mesh = make_mesh(n_devices)
         dp_step = make_data_parallel_step(mesh, **loss_kwargs)
-        assert batch_size % n_devices == 0
         b_local = batch_size // n_devices
         roll = local_index_roll(b_local)
     else:
@@ -96,7 +157,8 @@ def fit(
     mask = margin_mask(2 * (batch_size // n_devices if mesh else batch_size),
                        img_size, margin)
 
-    folder = PairFolder(train_dir, img_size=img_size, seed=seed)
+    folder = PairFolder(train_dir, img_size=img_size, seed=seed,
+                        shard_index=process_index, num_shards=process_count)
     df = None
     coarse_transforms = None
     if val_csv:
@@ -111,28 +173,39 @@ def fit(
     last_update = 0
 
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data_sharding = NamedSharding(mesh, P("data"))
+
+        def host_to_global(local_np):
+            """This process's rows -> the global batch-sharded array."""
+            if process_count == 1:
+                return shard_batch(local_np, mesh)
+            return jax.make_array_from_process_local_data(
+                data_sharding, np.asarray(local_np))
+
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
         grid_dev = replicate(grid, mesh)
-        mask_dev = shard_batch(
-            np.tile(np.asarray(mask), (n_devices, 1, 1, 1)), mesh
+        mask_dev = host_to_global(
+            np.tile(np.asarray(mask), (local_devices, 1, 1, 1))
         )
 
     for epoch in range(epochs):
         sums = {}
         n_steps = 0
-        for batch in prefetch(folder.epoch_batches(batch_size)):
+        for batch in prefetch(folder.epoch_batches(host_batch)):
             if mesh is not None:
-                # interleave so each shard holds concat(I1_d, I2_d)
+                # interleave so each LOCAL shard holds concat(I1_d, I2_d)
                 i1, i2 = batch["I1"], batch["I2"]
                 shards = []
-                for d in range(n_devices):
+                for d in range(local_devices):
                     shards.append(i1[d * b_local : (d + 1) * b_local])
                     shards.append(i2[d * b_local : (d + 1) * b_local])
                 imgs = np.concatenate(shards)
                 params, opt_state, metrics = dp_step(
                     params, opt_state,
-                    shard_batch(imgs, mesh), roll, grid_dev, mask_dev,
+                    host_to_global(imgs), roll, grid_dev, mask_dev,
                 )
             else:
                 imgs = np.concatenate([batch["I1"], batch["I2"]])
@@ -142,7 +215,7 @@ def fit(
             n_steps += 1
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + float(v)
-            if n_steps % log_every == 0:
+            if logger and n_steps % log_every == 0:
                 logger.log(epoch * 10000 + n_steps,
                            **{k: v / n_steps for k, v in sums.items()})
             if max_steps_per_epoch and n_steps >= max_steps_per_epoch:
@@ -150,25 +223,32 @@ def fit(
 
         avg = {k: v / max(n_steps, 1) for k, v in sums.items()}
 
-        if df is not None:
-            prec = validate(df, val_dir, coarse_transforms, params,
+        # validation + checkpoints are chief-only: params are replicated
+        # (psum'd grads => identical on every process), so process 0's
+        # copy IS the model; the other ranks just keep stepping
+        if df is not None and is_chief:
+            # under multi-process, hand validate() a host copy: its local
+            # jits can't consume arrays committed to a global mesh
+            p_eval = params if process_count == 1 else jax.device_get(params)
+            prec = validate(df, val_dir, coarse_transforms, p_eval,
                             kernel_size=kernel_size, min_size=val_min_size)
             prec8 = float(prec[4])
         else:
             prec = np.zeros(8)
             prec8 = 0.0
-        logger.log(epoch, val_prec8=prec8, **avg)
+        if logger:
+            logger.log(epoch, val_prec8=prec8, **avg)
 
-        if df is not None and prec8 > best_prec:
+        if df is not None and is_chief and prec8 > best_prec:
             best_prec = prec8
             last_update = epoch
             save_checkpoint(best_path, params, opt_state, step=epoch)
             print(f"epoch {epoch}: val prec@8 improved to {prec8:.4f}")
-        elif df is None and (epoch + 1) % epoch_save_model == 0:
+        elif df is None and is_chief and (epoch + 1) % epoch_save_model == 0:
             ckpt = os.path.join(out_dir, f"checkpoint_epoch{epoch}")
             save_checkpoint(ckpt, params, opt_state, step=epoch)
 
-    if df is not None and os.path.exists(best_path):
+    if df is not None and is_chief and os.path.exists(best_path):
         final = os.path.join(out_dir, f"BestModel@8_{best_prec:.3f}")
         os.rename(best_path, final)
     return params, best_prec

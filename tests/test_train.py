@@ -294,3 +294,70 @@ def test_data_parallel_step_bf16_matches_single_device(rng, params):
     a = np.asarray(new_p_dp["netFeatCoarse"]["bn1"]["running_mean"])
     b = np.asarray(new_p_s["netFeatCoarse"]["bn1"]["running_mean"])
     np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_process_shard_layout_math():
+    """Multi-host DP layout (SURVEY §2.9, VERDICT r4 missing #2): every
+    process gets an equal batch share covering an equal mesh span, and
+    invalid grids are rejected loudly."""
+    from ransacflow_tpu.train.loop import process_shard_layout
+
+    # 4 hosts x 8 devices, global batch 64
+    host_batch, local_devices = process_shard_layout(64, 32, 3, 4)
+    assert (host_batch, local_devices) == (16, 8)
+    # shares tile the global batch/device grid exactly
+    assert host_batch * 4 == 64 and local_devices * 4 == 32
+    # single host degenerates to the local layout
+    assert process_shard_layout(16, 8, 0, 1) == (16, 8)
+
+    with pytest.raises(ValueError):
+        process_shard_layout(64, 30, 0, 4)   # devices not divisible
+    with pytest.raises(ValueError):
+        process_shard_layout(62, 32, 0, 4)   # batch not divisible by devices
+    with pytest.raises(ValueError):
+        process_shard_layout(64, 32, 4, 4)   # index out of range
+
+
+def test_fit_rejects_multiprocess_without_mesh(tmp_path, params):
+    from ransacflow_tpu.train.loop import fit
+
+    with pytest.raises(ValueError, match="device mesh"):
+        fit(params, str(tmp_path), str(tmp_path / "out"),
+            n_devices=1, process_index=0, process_count=2)
+
+
+def test_data_parallel_step_on_permuted_device_mesh(rng, params):
+    """DP correctness must not depend on the mesh's device list being the
+    local default order (multi-host meshes enumerate other processes'
+    devices too): a REVERSED device list yields the same psum'd step."""
+    assert jax.device_count() >= 8
+    b_local = 1
+    imgs = rng.rand(2 * 8, IMG, IMG, 3).astype(np.float32)
+    i1, i2 = imgs[:8], imgs[8:]
+    shards = []
+    for d in range(8):
+        shards.append(i1[d : d + 1])
+        shards.append(i2[d : d + 1])
+    imgs_dp = np.concatenate(shards)
+    roll = local_index_roll(b_local)
+    grid = normalized_grid(IMG, IMG)[None]
+    mask_dp = jnp.tile(margin_mask(2 * b_local, IMG, MARGIN), (8, 1, 1, 1))
+
+    init_opt, _ = make_train_step(mode="flow", mu_cycle=1.0)
+    opt_state = init_opt(params)
+
+    losses = {}
+    for name, devs in (("default", None),
+                       ("reversed", list(reversed(jax.devices()[:8])))):
+        mesh = make_mesh(8, devices=devs)
+        dp_step = make_data_parallel_step(mesh, mode="flow", mu_cycle=1.0)
+        _, _, m = dp_step(
+            replicate(params, mesh), replicate(opt_state, mesh),
+            shard_batch(jnp.asarray(imgs_dp), mesh), roll,
+            replicate(grid, mesh), shard_batch(mask_dp, mesh),
+        )
+        losses[name] = float(m["loss_lr"])
+    # psum is order-invariant; the per-shard data-to-device assignment
+    # differs but the global mean/grads are identical
+    np.testing.assert_allclose(losses["default"], losses["reversed"],
+                               rtol=1e-5)
