@@ -60,7 +60,7 @@ def pyramid_shapes(min_size=MIN_SIZE, aspect=ASPECT, nb_scale=7, scale_r=2.0,
 
 def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
                     related=False, adaptive_chunk=0, mask_region_th=0.01,
-                    n_iter=50000):
+                    n_iter=50000, return_outs=False):
     """Reference-shaped eval path: full multi-homography loop at the
     HPatches config (minSize 480, 7 scales, 50k RANSAC iters, maxCoarse 10,
     maskRegionTh 0.01, match12-only fine stage —
@@ -139,7 +139,7 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
     setup_v = jax.jit(jax.vmap(setup))
     keys = jax.random.split(jax.random.PRNGKey(7), n_pairs)
 
-    def run():
+    def run(fetch=False):
         banks, featts, src_idx, valids, mids, ffines = setup_v(
             sources, targets
         )
@@ -151,6 +151,8 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
             transform="homography", rematch=False,
             adaptive_chunk=adaptive_chunk,
         )
+        if fetch:  # full artifact readback (accept-sensitivity sweeps)
+            return {k: np.asarray(v) for k, v in final.items()}
         # single sync closes the timed region
         return np.asarray(final["count"])
 
@@ -160,6 +162,8 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
         t0 = time.perf_counter()
         counts = run()
         elapsed = min(elapsed, time.perf_counter() - t0)
+    if return_outs:
+        return n_pairs / elapsed, float(np.mean(counts)), run(fetch=True)
     return n_pairs / elapsed, float(np.mean(counts))
 
 

@@ -60,6 +60,10 @@ def main():
     parser.add_argument("--computeDtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="mixed-precision conv compute (fp32 masters)")
+    parser.add_argument("--nativeResize", action="store_true",
+                        help="resize train pairs with the C++ Lanczos "
+                        "resampler (ransacflow_tpu.native) instead of PIL; "
+                        "falls back to PIL if the toolchain is missing")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize the feature trunk in backward "
                              "(same numerics, smaller activation memory)")
@@ -133,6 +137,7 @@ def main():
         compute_dtype=(None if args.computeDtype == "float32"
                        else args.computeDtype),
         remat=args.remat,
+        use_native=args.nativeResize,
     )
 
 

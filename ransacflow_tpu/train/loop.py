@@ -98,6 +98,7 @@ def fit(
     max_steps_per_epoch=None,
     compute_dtype=None,
     remat=False,
+    use_native=False,
     process_index=None,
     process_count=None,
 ):
@@ -158,7 +159,8 @@ def fit(
                        img_size, margin)
 
     folder = PairFolder(train_dir, img_size=img_size, seed=seed,
-                        shard_index=process_index, num_shards=process_count)
+                        shard_index=process_index, num_shards=process_count,
+                        use_native=use_native)
     df = None
     coarse_transforms = None
     if val_csv:
