@@ -131,7 +131,8 @@ def test_train_cli_one_step(tmp_path, rng):
         "ransacflow_tpu.cli.train", "--trainImgDir", str(data),
         "--outDir", str(out), "--stage", "1", "--nEpochs", "1",
         "--batchSize", "2", "--imgSize", "32", "--margin", "8",
-        "--maxStepsPerEpoch", "1", "NoVal", "--epochSaveModel", "1",
+        "--maxStepsPerEpoch", "1", "--nativeResize",
+        "NoVal", "--epochSaveModel", "1",
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     assert (out / "metrics.jsonl").exists()
