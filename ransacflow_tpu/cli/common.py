@@ -87,6 +87,29 @@ def resolve_n_devices(args):
     return args.nDevices
 
 
+def add_compute_dtype_flag(parser):
+    parser.add_argument(
+        "--computeDtype", type=str, default="float32",
+        choices=["float32", "bfloat16"],
+        help="cast model weights (and therefore conv compute) to this "
+             "dtype on the eval path. float32 is the reference-parity "
+             "default; bfloat16 is the measured-safe fast mode — the "
+             "round-5 accept-threshold sweep (docs/PERFORMANCE.md) found "
+             "identical coverage (1.0) across the whole mask_region_th "
+             "grid with earlier multi-homography exits, ~+30%% pairs/s")
+
+
+def cast_for_dtype(params, dtype_str):
+    """Cast a param tree for --computeDtype; identity for float32/None."""
+    if params is None or dtype_str in (None, "float32"):
+        return params
+    import jax.numpy as jnp
+
+    from ransacflow_tpu.models import cast_params
+
+    return cast_params(params, jnp.dtype(dtype_str))
+
+
 def add_adaptive_flag(parser):
     parser.add_argument(
         "--adaptiveChunk", type=int, default=0,

@@ -10,9 +10,11 @@ import argparse
 
 from ransacflow_tpu.cli.common import (
     add_adaptive_flag,
+    add_compute_dtype_flag,
     add_model_args,
     add_segnet_args,
     add_fused_flag,
+    cast_for_dtype,
     load_align_params,
     load_coarse_net,
     build_sky_fn,
@@ -48,6 +50,7 @@ def main():
     p.add_argument("--endIndex", type=int, default=None)
     add_fused_flag(p)
     add_adaptive_flag(p)
+    add_compute_dtype_flag(p)
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -71,8 +74,10 @@ def main():
 
         predict_corr(
             args.testCSV, args.testDir, args.outDir,
-            load_coarse_net(args.mocoPth, args.imageNetPth),
-            load_align_params(args.resumePth, args.kernelSize),
+            cast_for_dtype(load_coarse_net(args.mocoPth, args.imageNetPth),
+                           args.computeDtype),
+            cast_for_dtype(load_align_params(args.resumePth, args.kernelSize),
+                           args.computeDtype),
             min_size=args.minSize, nb_scale=args.nbScale,
             n_iter=args.coarseIter, tolerance=args.coarsetolerance,
             scale_r=args.scaleR, max_coarse=args.maxCoarse,

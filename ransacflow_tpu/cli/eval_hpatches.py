@@ -12,7 +12,9 @@ import numpy as np
 
 from ransacflow_tpu.cli.common import (
     add_adaptive_flag,
+    add_compute_dtype_flag,
     add_model_args,
+    cast_for_dtype,
     add_segnet_args,
     add_fused_flag,
     load_align_params,
@@ -50,6 +52,7 @@ def main():
     p.add_argument("--endIndex", type=int, default=None)
     add_fused_flag(p)
     add_adaptive_flag(p)
+    add_compute_dtype_flag(p)
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -68,8 +71,10 @@ def main():
         predict_hpatches(
             getattr(args, "csv_path"), getattr(args, "image_data_path"),
             args.outDir,
-            load_coarse_net(args.mocoPth, args.imageNetPth),
-            load_align_params(args.resumePth, args.kernelSize),
+            cast_for_dtype(load_coarse_net(args.mocoPth, args.imageNetPth),
+                           args.computeDtype),
+            cast_for_dtype(load_align_params(args.resumePth, args.kernelSize),
+                           args.computeDtype),
             min_size=args.minSize, nb_scale=args.nbScale,
             n_iter=args.coarseIter, tolerance=args.coarsetolerance,
             scale_r=args.scaleR, max_coarse=args.maxCoarse,

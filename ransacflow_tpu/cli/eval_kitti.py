@@ -10,8 +10,10 @@ import argparse
 
 from ransacflow_tpu.cli.common import (
     add_adaptive_flag,
+    add_compute_dtype_flag,
     add_model_args,
     add_segnet_args,
+    cast_for_dtype,
     load_align_params,
     load_coarse_net,
     build_sky_fn,
@@ -26,6 +28,7 @@ def main():
     add_model_args(p)
     add_segnet_args(p)
     add_adaptive_flag(p)
+    add_compute_dtype_flag(p)
     p.add_argument("--testImg", type=str, required=True)
     p.add_argument("--outDir", type=str, required=True)
     p.add_argument("--coarseIter", type=int, default=50000)
@@ -71,8 +74,12 @@ def main():
             bg_mask_fn=build_sky_fn(args),
             adaptive_chunk=args.adaptiveChunk,
         )
-        resnet = load_coarse_net(args.mocoPth, args.imageNetPth)
-        align = load_align_params(args.resumePth, args.kernelSize)
+        resnet = cast_for_dtype(
+            load_coarse_net(args.mocoPth, args.imageNetPth),
+            args.computeDtype)
+        align = cast_for_dtype(
+            load_align_params(args.resumePth, args.kernelSize),
+            args.computeDtype)
         if args.nDevices is not None:
             pooled_kitti_predict(args.testImg, args.outDir, resnet, align,
                                  args.nDevices, **common)

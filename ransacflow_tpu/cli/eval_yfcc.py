@@ -13,9 +13,11 @@ import os
 
 from ransacflow_tpu.cli.common import (
     add_adaptive_flag,
+    add_compute_dtype_flag,
     add_model_args,
     add_segnet_args,
     add_fused_flag,
+    cast_for_dtype,
     load_align_params,
     load_coarse_net,
     build_sky_fn,
@@ -53,6 +55,7 @@ def main():
                         "artifacts, one dispatch+readback per batch)")
     add_fused_flag(p)
     add_adaptive_flag(p)
+    add_compute_dtype_flag(p)
 
     r = sub.add_parser("results")
     r.add_argument("--predDir", type=str, required=True)
@@ -83,8 +86,12 @@ def main():
             rematch_per_call=True,
             adaptive_chunk=args.adaptiveChunk,
         )
-        resnet = load_coarse_net(args.mocoPth, args.imageNetPth)
-        align = load_align_params(args.resumePth, args.kernelSize)
+        resnet = cast_for_dtype(
+            load_coarse_net(args.mocoPth, args.imageNetPth),
+            args.computeDtype)
+        align = cast_for_dtype(
+            load_align_params(args.resumePth, args.kernelSize),
+            args.computeDtype)
         scenes = [args.testScene] if args.testScene else list(SCENES)
         for scene in scenes:
             common = dict(

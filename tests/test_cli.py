@@ -99,6 +99,42 @@ def test_cli_help_parses(cli):
         assert r.returncode == 0, r.stderr[-1000:]
 
 
+def test_eval_compute_dtype_policy():
+    """Pins the eval-path dtype policy from the round-5 accept-threshold
+    sweep (docs/PERFORMANCE.md): float32 stays the reference-parity
+    DEFAULT on every eval CLI; bfloat16 is the measured-safe opt-in
+    (identical coverage=1.0 across the whole mask_region_th grid with
+    earlier multi-homography exits, ~+30% pairs/s)."""
+    import argparse
+    import importlib
+    import inspect
+
+    import jax.numpy as jnp
+
+    from ransacflow_tpu.cli.common import (
+        add_compute_dtype_flag,
+        cast_for_dtype,
+    )
+
+    p = argparse.ArgumentParser()
+    add_compute_dtype_flag(p)
+    assert p.parse_args([]).computeDtype == "float32"  # parity default
+    assert p.parse_args(["--computeDtype", "bfloat16"]).computeDtype == \
+        "bfloat16"
+
+    # every eval CLI wires the flag through cast_for_dtype on predict
+    for cli in ["eval_hpatches", "eval_corr", "eval_kitti", "eval_yfcc"]:
+        src = inspect.getsource(
+            importlib.import_module(f"ransacflow_tpu.cli.{cli}"))
+        assert "add_compute_dtype_flag" in src, cli
+        assert "cast_for_dtype" in src, cli
+
+    params = {"w": jnp.ones((2, 2), jnp.float32)}
+    assert cast_for_dtype(params, "float32")["w"].dtype == jnp.float32
+    assert cast_for_dtype(params, "bfloat16")["w"].dtype == jnp.bfloat16
+    assert cast_for_dtype(None, "bfloat16") is None
+
+
 @slow_cli
 def test_align_cli(tmp_path, rng):
     a = tmp_path / "a.png"
