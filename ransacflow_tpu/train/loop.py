@@ -150,7 +150,17 @@ def fit(
     else:
         mesh = None
         # params/opt_state are consumed each step — donating them lets XLA
-        # update weights in place instead of allocating fresh buffers
+        # update weights in place instead of allocating fresh buffers.
+        # The FIRST step would donate the caller's own param buffers,
+        # invalidating the tree the caller passed in (any later read hits
+        # "Buffer has been deleted or donated") — copy once at entry so
+        # donation only ever consumes fit-internal buffers.
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), params)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), opt_state)
         step_jit = jax.jit(step_fn, donate_argnums=(0, 1))
         roll = local_index_roll(batch_size)
 

@@ -173,6 +173,27 @@ def _write_train_dir(tmp_path, rng):
     return str(data)
 
 
+def test_fit_preserves_caller_params(tmp_path, rng):
+    """fit()'s single-device step donates param buffers in place
+    (donate_argnums, train/loop.py); the entry copy must keep the CALLER's
+    tree readable and unchanged after fit returns. Regression: the round-5
+    full-gate run hit 'Buffer has been deleted or donated' when a second
+    test read a shared fixture's params after another test passed them
+    through fit."""
+    train_dir = _write_train_dir(tmp_path, rng)
+    params = init_alignment_params(jax.random.PRNGKey(0))
+    # real copies, NOT np.asarray: a zero-copy numpy view pins the jax
+    # buffer, which silently disables donation and hides the bug
+    before = jax.tree_util.tree_map(lambda x: np.array(x, copy=True),
+                                    params)
+    fit(params, train_dir, str(tmp_path / "run"), epochs=1, batch_size=2,
+        img_size=32, margin=8, max_steps_per_epoch=1)
+    after = jax.tree_util.tree_map(np.asarray, params)  # must not raise
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_fit_best_model_gating(tmp_path, rng, monkeypatch):
     """Gating semantics (train/loop.py:152-172 vs reference
     train/train.py:269-313): save on improvement only, rename with the best
