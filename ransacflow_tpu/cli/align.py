@@ -15,6 +15,7 @@ import numpy as np
 from PIL import Image
 
 from ransacflow_tpu.cli.common import (
+    add_adaptive_flag,
     add_model_args,
     load_align_params,
     load_coarse_net,
@@ -40,6 +41,7 @@ def main():
     parser.add_argument("--coarsetolerance", type=float, default=0.05)
     parser.add_argument("--minSize", type=int, default=400)
     parser.add_argument("--scaleR", type=float, default=1.2)
+    add_adaptive_flag(parser)
     args = parser.parse_args()
 
     from ransacflow_tpu.pipeline import RansacFlowAligner
@@ -53,6 +55,7 @@ def main():
         tolerance=args.coarsetolerance,
         min_size=args.minSize,
         scale_r=args.scaleR,
+        adaptive_chunk=args.adaptiveChunk,
     )
     img1 = Image.open(args.img1).convert("RGB")
     img2 = Image.open(args.img2).convert("RGB")

@@ -254,7 +254,7 @@ def ransac_homography_adaptive(
     def body(st):
         k = jax.random.fold_in(key, st["i"])
         raw, unique = _sample_minimal_sets(k, n_valid, n_points, chunk)
-        XY = m12o[raw]  # (chunk, n_points, 6) — one 48-byte-row gather
+        XY = m12o[raw]  # (chunk, n_points, 6) — one 24-byte-row gather
         H21, model_ok = _solve_models(
             XY[..., :3], XY[..., 3:], transform, det_gate, dlt_method
         )

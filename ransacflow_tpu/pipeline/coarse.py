@@ -348,16 +348,32 @@ class CoarseAligner:
         m1, m2 = _homogeneous_matches(self._coordsA, self._coordsB, src_idx)
         if key is None:
             self._key, key = jax.random.split(self._key)
-        res = ransac_homography(
-            key,
-            m1,
-            m2,
-            valid,
-            self.tolerance,
-            n_iter=self.n_iter,
-            n_points=self.n_points,
-            transform=self.transform,
-        )
+        if self.adaptive_chunk:
+            # keep the dispatch twin on the SAME RANSAC mode as
+            # pick_rotation's get_coarse path, so both score rotations
+            # with identical hypothesis streams under --adaptiveChunk
+            res, _ = ransac_homography_adaptive(
+                key,
+                m1,
+                m2,
+                valid,
+                self.tolerance,
+                n_iter=self.n_iter,
+                chunk=self.adaptive_chunk,
+                n_points=self.n_points,
+                transform=self.transform,
+            )
+        else:
+            res = ransac_homography(
+                key,
+                m1,
+                m2,
+                valid,
+                self.tolerance,
+                n_iter=self.n_iter,
+                n_points=self.n_points,
+                transform=self.transform,
+            )
         # sum the reprojection-error mask, NOT res.num_inliers: the matmul
         # scoring path and the mask's einsum+sqrt path can disagree by 1 on
         # knife-edge correspondences, and `pick_rotation` (the sequential

@@ -77,7 +77,21 @@ class PairFolder:
         self.img_dir = img_dir
         self.cycle = 3 if os.path.exists(os.path.join(img_dir, "1_3.jpg")) else 2
         n_total = len(os.listdir(img_dir)) // self.cycle
-        self.indices = list(range(shard_index, n_total, num_shards))
+        if num_shards > 1:
+            # Every shard must hold the SAME number of groups: ranks run
+            # lock-step psum'd DP steps, so a shorter shard means fewer
+            # epoch_batches on that rank and the other ranks block forever
+            # in a collective nobody joins. Pad by wrapping the index list
+            # to ceil(n/num_shards)*num_shards before the rank-strided
+            # slice — the same equalization the reference's
+            # DistributedSampler does (segNet/lib/utils/data/
+            # distributed.py:23-38).
+            per_shard = -(-n_total // num_shards)
+            padded = list(range(n_total))
+            padded += padded[: per_shard * num_shards - n_total]
+            self.indices = padded[shard_index::num_shards]
+        else:
+            self.indices = list(range(n_total))
         self.img_size = img_size
         self.rng = np.random.RandomState(seed)
         self.use_native = use_native

@@ -128,6 +128,15 @@ def fit(
         raise ValueError(
             "multi-process training needs a device mesh: pass n_devices = "
             "the global device count (len(jax.devices()))")
+    if process_count > 1 and n_devices != jax.device_count():
+        # catch the natural single-host habit of passing the LOCAL count:
+        # make_mesh(n) takes the first n GLOBAL devices, so a short count
+        # builds a mesh excluding some processes' devices and those ranks
+        # fail deep inside make_array_from_process_local_data mid-epoch
+        raise ValueError(
+            f"multi-process training shards the GLOBAL device set: pass "
+            f"n_devices = len(jax.devices()) = {jax.device_count()}, got "
+            f"{n_devices}")
 
     os.makedirs(out_dir, exist_ok=True)
     logger = MetricsLogger(out_dir, echo=is_chief) if is_chief else None

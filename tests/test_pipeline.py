@@ -83,6 +83,26 @@ def test_coarse_aligner_recovers_translation(rng, resnet_params):
     assert inlier.sum() >= 20
 
 
+def test_coarse_aligner_adaptive_mode(rng, resnet_params):
+    """adaptive_chunk engages the confidence early-exit RANSAC on BOTH
+    CoarseAligner entry points: get_coarse still recovers the planted
+    translation, and the async rotation-pre-test twin
+    (dispatch_inlier_count) scores under the same adaptive mode (review
+    fix: it previously stayed fixed-count, so --adaptiveChunk silently
+    did not apply to the YFCC pre-test's dominant RANSAC cost)."""
+    src, tgt, H_true = _translated_pair(rng)
+    coarse = CoarseAligner(resnet_params, nb_scale=1, n_iter=3000,
+                           min_size=H_IMG, adaptive_chunk=512)
+    coarse.set_pair(src, tgt)
+    H, inlier = coarse.get_coarse(_border_mask())
+    assert H is not None
+    assert _h_error(H, H_true) < 0.02
+    n = int(np.asarray(coarse.dispatch_inlier_count(
+        _border_mask(), jax.random.PRNGKey(3))))
+    assert n >= 20  # same alignable pair => same-order inlier count
+    assert abs(n - float(inlier.sum())) <= max(5.0, 0.3 * inlier.sum())
+
+
 def test_coarse_aligner_multiscale_and_rematch(rng, resnet_params):
     src, tgt, H_true = _translated_pair(rng)
     coarse = CoarseAligner(resnet_params, nb_scale=3, n_iter=3000,

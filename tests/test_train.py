@@ -209,7 +209,11 @@ def test_checkpoint_roundtrip(tmp_path, params):
 
 def test_pair_folder_host_sharding(rng, tmp_path):
     """shard_index/num_shards split (the DistributedSampler equivalent,
-    SURVEY §2.9): shards partition the groups without overlap."""
+    SURVEY §2.9): shards COVER the groups and are all the SAME length —
+    the lock-step psum'd DP steps deadlock if one rank runs fewer epoch
+    batches, so uneven group counts are padded by wrapping, exactly like
+    the reference's DistributedSampler (segNet/lib/utils/data/
+    distributed.py:23-38)."""
     from PIL import Image
 
     for idx in range(5):
@@ -219,8 +223,24 @@ def test_pair_folder_host_sharding(rng, tmp_path):
             ).save(tmp_path / f"{idx}_{v}.jpg")
     a = PairFolder(str(tmp_path), img_size=8, shard_index=0, num_shards=2)
     b = PairFolder(str(tmp_path), img_size=8, shard_index=1, num_shards=2)
-    assert sorted(a.indices + b.indices) == list(range(5))
-    assert not set(a.indices) & set(b.indices)
+    # full cover, equal lengths (5 groups -> 3+3 with ONE wrap duplicate)
+    assert set(a.indices) | set(b.indices) == set(range(5))
+    assert len(a.indices) == len(b.indices) == 3
+    all_idx = a.indices + b.indices
+    assert len(all_idx) - len(set(all_idx)) == 1  # exactly the padding
+    # equal shard length => equal per-epoch batch counts on every rank
+    assert (len(list(a.epoch_batches(2))) == len(list(b.epoch_batches(2)))
+            == 1)
+    # even split stays an exact disjoint partition (no padding)
+    for idx in (5, 6, 7):
+        for v in (1, 2):
+            Image.fromarray(
+                (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            ).save(tmp_path / f"{idx}_{v}.jpg")
+    c = PairFolder(str(tmp_path), img_size=8, shard_index=0, num_shards=2)
+    d = PairFolder(str(tmp_path), img_size=8, shard_index=1, num_shards=2)
+    assert sorted(c.indices + d.indices) == list(range(8))
+    assert not set(c.indices) & set(d.indices)
 
 
 def test_train_step_bf16_policy(rng, params):
@@ -324,6 +344,18 @@ def test_fit_rejects_multiprocess_without_mesh(tmp_path, params):
     with pytest.raises(ValueError, match="device mesh"):
         fit(params, str(tmp_path), str(tmp_path / "out"),
             n_devices=1, process_index=0, process_count=2)
+
+
+def test_fit_rejects_multiprocess_local_device_count(tmp_path, params):
+    """Passing the LOCAL device count under multi-process (the natural
+    single-host habit) must fail at the front door: make_mesh(n) would
+    take the first n GLOBAL devices and exclude other ranks' chips."""
+    from ransacflow_tpu.train.loop import fit
+
+    assert jax.device_count() == 8
+    with pytest.raises(ValueError, match="GLOBAL device set"):
+        fit(params, str(tmp_path), str(tmp_path / "out"),
+            n_devices=4, process_index=0, process_count=2)
 
 
 def test_data_parallel_step_on_permuted_device_mesh(rng, params):
