@@ -339,6 +339,32 @@ def main():
     else:
         fp32_scan_pps = None
 
+    # anchor-stride pyramid point (round 5, opt-in approximation): trunk
+    # exact only at scales {2.0, 1.0, 0.5}, neighbors feature-resampled
+    # (pipeline/fused._coarse_match) — the measured fast serving mode
+    # (quality cost quantified in scripts/bench_anchor_pyramid.py +
+    # docs/PERFORMANCE.md). NOT the headline: the headline stays the
+    # reference-parity exact pyramid.
+    if os.environ.get("RANSACFLOW_BENCH_SKIP_ANCHOR"):
+        anchor_pps = None
+    else:
+        def run_anchor(k):
+            pyramids = build_pyramids(sources)
+            out = fused_align_batch(
+                resnet_params, align_params, pyramids, targets,
+                jax.random.split(k, N_PAIRS), n_iter=N_ITER,
+                batch_mode=batch_mode, stem_s2d=stem_s2d, anchor_stride=3,
+            )
+            return np.asarray(out["num_inliers"])
+
+        run_anchor(jax.random.PRNGKey(3))
+        el_a = float("inf")
+        for s in (4, 5, 6):
+            t0 = time.perf_counter()
+            run_anchor(jax.random.PRNGKey(s))
+            el_a = min(el_a, time.perf_counter() - t0)
+        anchor_pps = N_PAIRS / el_a
+
     # Worst case: untrained matchability never saturates, so every synthetic
     # pair exhausts all maxCoarse+1 homography slots (real HPatches pairs
     # accept 1-3). Also measure a representative 3-homography config.
@@ -422,6 +448,7 @@ def main():
                 "extra_metrics": {
                     "serving_config": f"{dtype}/{batch_mode}",
                     "fp32_scan_pairs_s": _round(fp32_scan_pps, 3),
+                    "serving_anchor3_pairs_s": _round(anchor_pps, 3),
                     "mfu_pct": _round(mfu_pct, 2),
                     "model_gflops_per_pair": round(
                         stage_flops["total"] / 1e9, 2

@@ -10,6 +10,8 @@ a `lax.scan` around it (`fused_align_batch`).
 
 from functools import partial
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -56,7 +58,8 @@ def _bank_coords(pyramid_shapes, stride=16):
     return jnp.stack([jnp.concatenate(xs), jnp.concatenate(ys)], axis=1)
 
 
-def _coarse_match(resnet_params, pyramid, target, stem_s2d=False):
+def _coarse_match(resnet_params, pyramid, target, stem_s2d=False,
+                  anchor_stride=0):
     """Coarse features + mutual matching for one pair.
 
     Returns (m1, m2, valid): homogeneous match arrays keyed by target cell
@@ -65,12 +68,52 @@ def _coarse_match(resnet_params, pyramid, target, stem_s2d=False):
     stem_s2d runs the trunk's conv1 as the exact space-to-depth rewrite
     (models/resnet50.py `_stem_s2d`): wins trunk-only benches but loses
     inside this fused program (see the _stem_s2d docstring) — default off.
+
+    anchor_stride (opt-in APPROXIMATION, 0 = reference-parity exact mode):
+    run the trunk only at ANCHOR scales (every `anchor_stride`-th pyramid
+    entry, index 0 first) and derive each remaining scale's feature map by
+    bilinearly resampling its nearest anchor's pre-normalization features
+    (re-L2-normalized per location). The exact mode pushes ~11x the base
+    pixel count through ResNet-50 (sum of s^2 over the 7 linear scales
+    2.0..0.5 — the serving path's dominant cost, docs/PERFORMANCE.md);
+    stride 3 anchors {2.0, 1.0, 0.5} at ~5.25x, a ~2.1x trunk-FLOP cut,
+    while capping the feature resampling ratio at ~1.33x. Resampling from
+    a FAR scale does not work: an all-from-largest variant (resampling
+    ratios up to 4x) collapsed mutual matching against the exactly-
+    computed target features — 984 -> 149 matches on a same-content pair
+    (the dead-end record in docs/PERFORMANCE.md); nearest-anchor with
+    small stride retains 74-92% of the exact mode's matches across
+    planted scale ratios 1.0-2.0 (tests/test_fused.py pins this).
     """
-    feats = []
-    for img in pyramid:
-        f, _ = resnet50_layer3(resnet_params, imagenet_preprocess(img),
-                               stem_s2d=stem_s2d)
-        feats.append(l2_normalize(f, axis=-1).reshape(-1, f.shape[-1]))
+    if anchor_stride:
+        anchors = list(range(0, len(pyramid), int(anchor_stride)))
+        f_anchor = {}
+        for i in anchors:
+            f, _ = resnet50_layer3(
+                resnet_params, imagenet_preprocess(pyramid[i]),
+                stem_s2d=stem_s2d)
+            f_anchor[i] = f
+
+        def log_scale(i):
+            return 0.5 * math.log(
+                float(pyramid[i].shape[1] * pyramid[i].shape[2]))
+
+        feats = []
+        for j in range(len(pyramid)):
+            i = min(anchors, key=lambda a: abs(log_scale(a) - log_scale(j)))
+            f0 = f_anchor[i]
+            c = f0.shape[-1]
+            fh = pyramid[j].shape[1] // 16
+            fw = pyramid[j].shape[2] // 16
+            f = f0 if (fh, fw) == tuple(f0.shape[1:3]) else jax.image.resize(
+                f0, (1, fh, fw, c), method="bilinear")
+            feats.append(l2_normalize(f, axis=-1).reshape(-1, c))
+    else:
+        feats = []
+        for img in pyramid:
+            f, _ = resnet50_layer3(resnet_params, imagenet_preprocess(img),
+                                   stem_s2d=stem_s2d)
+            feats.append(l2_normalize(f, axis=-1).reshape(-1, f.shape[-1]))
     bank = jnp.concatenate(feats, axis=0)  # (nA, 1024)
     coords_a = _bank_coords([img.shape[1:3] for img in pyramid])
 
@@ -93,7 +136,7 @@ def _coarse_match(resnet_params, pyramid, target, stem_s2d=False):
 @partial(
     jax.jit,
     static_argnames=("n_iter", "kernel_size", "cycle_match", "stem_s2d",
-                     "adaptive_chunk"),
+                     "adaptive_chunk", "anchor_stride"),
 )
 def fused_align(
     resnet_params,
@@ -107,6 +150,7 @@ def fused_align(
     cycle_match=True,
     stem_s2d=False,
     adaptive_chunk=0,
+    anchor_stride=0,
 ):
     """Align one pair entirely on device.
 
@@ -120,7 +164,8 @@ def fused_align(
     (1,Ht,Wt,2), 'match' (Ht,Wt), 'flow_down8', 'match_down8'.
     """
     m1, m2, valid = _coarse_match(resnet_params, pyramid, target,
-                                  stem_s2d=stem_s2d)
+                                  stem_s2d=stem_s2d,
+                                  anchor_stride=anchor_stride)
     res = _ransac(key, m1, m2, valid, tolerance, n_iter, adaptive_chunk)
     return _fine_with_gate(
         align_params, pyramid, target, res, cycle_match, kernel_size
@@ -177,7 +222,7 @@ def _fine_with_gate(align_params, pyramid, target, res, cycle_match,
 @partial(
     jax.jit,
     static_argnames=("n_iter", "kernel_size", "cycle_match", "batch_mode",
-                     "stem_s2d", "adaptive_chunk"),
+                     "stem_s2d", "adaptive_chunk", "anchor_stride"),
 )
 def fused_align_batch(
     resnet_params,
@@ -192,6 +237,7 @@ def fused_align_batch(
     batch_mode="scan",
     stem_s2d=False,
     adaptive_chunk=0,
+    anchor_stride=0,
 ):
     """Run `fused_align` over a batch of pairs resident on device.
 
@@ -220,7 +266,7 @@ def fused_align_batch(
         return fused_align(
             resnet_params, align_params, tuple(pyr), tgt, k,
             tolerance, n_iter, kernel_size, cycle_match, stem_s2d,
-            adaptive_chunk,
+            adaptive_chunk, anchor_stride,
         )
 
     if batch_mode == "vmap":
@@ -229,7 +275,8 @@ def fused_align_batch(
     if batch_mode == "hybrid":
         m1, m2, valid = jax.vmap(
             lambda pyr, tgt: _coarse_match(resnet_params, tuple(pyr), tgt,
-                                           stem_s2d=stem_s2d)
+                                           stem_s2d=stem_s2d,
+                                           anchor_stride=anchor_stride)
         )(tuple(pyramids), targets)
 
         def r_body(_, inp):
@@ -270,7 +317,8 @@ def fused_align_batch(
 
             m1, m2, valid = jax.vmap(
                 lambda py, t: _coarse_match(
-                    resnet_params, tuple(py), t, stem_s2d=stem_s2d
+                    resnet_params, tuple(py), t, stem_s2d=stem_s2d,
+                    anchor_stride=anchor_stride
                 )
             )(tuple(pyr), tgt)
 

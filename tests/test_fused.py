@@ -89,6 +89,56 @@ def test_fused_bf16_mode_consistent_with_fp32(rng, nets):
     assert int(out16["num_inliers"]) > 0
 
 
+def test_fused_anchor_stride_pyramid(rng, nets):
+    """anchor_stride (opt-in approximation: exact trunk at every k-th
+    pyramid scale, neighbors derived by nearest-anchor feature resampling
+    — pipeline/fused._coarse_match) must (a) keep anchor-scale features
+    BIT-EXACT, (b) retain most of the exact mode's mutual matches, and
+    (c) agree with the exact mode's fused homography on an alignable
+    pair. (Absolute recovery of a planted H is NOT asserted: zero-padding
+    border cells vote identity on the unmasked serving path with
+    untrained weights — see tests/test_pipeline.py docstring; the bf16
+    test above makes the same cross-mode-only comparison. The design
+    record, incl. why an all-from-largest variant was rejected — match
+    collapse at large resampling ratios — is in docs/PERFORMANCE.md.)"""
+    from ransacflow_tpu.ops import warp_grid, grid_sample
+    from ransacflow_tpu.pipeline.fused import _coarse_match, device_pyramid
+
+    resnet, align = nets
+    h = w = 128
+    base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
+    src = np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
+    H_true = np.array([[1, 0, 0.25], [0, 1, 0.25], [0, 0, 1]], np.float32)
+    g = warp_grid(jnp.asarray(H_true)[None], h, w)
+    tgt = grid_sample(jnp.asarray(src)[None], g)
+
+    # 5 scales, stride 2 -> anchors at indices 0, 2, 4; 1, 3 resampled
+    shapes = [(int(h * s) // 16 * 16,) * 2
+              for s in (2.0, 1.5, 1.0, 0.75, 0.5)]
+    pyr = device_pyramid(jnp.asarray(src)[None], shapes)
+
+    m1e, _, ve = _coarse_match(resnet, pyr, tgt)
+    m1a, _, va = _coarse_match(resnet, pyr, tgt, anchor_stride=2)
+    ve, va = np.asarray(ve), np.asarray(va)
+    # (b) match-count retention and same-cell agreement on the overlap
+    assert va.sum() >= 0.6 * ve.sum(), (va.sum(), ve.sum())
+    both = ve & va
+    same = np.all(np.isclose(np.asarray(m1e)[both], np.asarray(m1a)[both],
+                             atol=1e-6), axis=1)
+    assert same.mean() > 0.7, same.mean()
+
+    # (c) fused homographies agree up to matching jitter
+    hs = {}
+    for stride in (0, 2):
+        out = fused_align(resnet, align, pyr, tgt, jax.random.PRNGKey(0),
+                          n_iter=2000, anchor_stride=stride)
+        assert bool(out["found"]), f"anchor_stride={stride}"
+        assert int(out["num_inliers"]) > 0
+        hm = np.asarray(out["H21"], np.float64)
+        hs[stride] = hm / hm[2, 2]
+    np.testing.assert_allclose(hs[2], hs[0], atol=0.05)
+
+
 def test_device_pyramid_close_to_pil(rng):
     """jax lanczos3 resize tracks PIL LANCZOS closely enough for feature
     matching (same kernel family, different edge handling details)."""
