@@ -56,6 +56,7 @@ def main():
         min_size=args.minSize,
         scale_r=args.scaleR,
         adaptive_chunk=args.adaptiveChunk,
+        anchor_stride=args.anchorStride,
     )
     img1 = Image.open(args.img1).convert("RGB")
     img2 = Image.open(args.img2).convert("RGB")

@@ -117,3 +117,11 @@ def add_adaptive_flag(parser):
              "evaluate hypotheses in blocks of this size and stop once "
              "the 0.999-confidence bound is met; --coarseIter becomes a "
              "cap. 0 = fixed iteration count (reference-parity default)")
+    parser.add_argument(
+        "--anchorStride", type=int, default=0,
+        help="anchor-stride feature pyramid (opt-in approximation): run "
+             "the coarse trunk only at every k-th pyramid scale and "
+             "bilinearly feature-resample the rest from the nearest "
+             "anchor (+28%% serving throughput measured at stride 3; "
+             "quality cost in docs/PERFORMANCE.md). 0 = exact per-scale "
+             "trunk (reference-parity default)")

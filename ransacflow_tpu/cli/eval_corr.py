@@ -87,6 +87,7 @@ def main():
             (lambda row, hw, fn=build_sky_fn(args): fn(row, hw)),
             n_devices=resolve_n_devices(args), batch_pairs=args.batchPairs,
             adaptive_chunk=args.adaptiveChunk,
+            anchor_stride=args.anchorStride,
         )
     else:
         from ransacflow_tpu.eval import evaluate_corr, PIXEL_GRID

@@ -83,6 +83,7 @@ def main():
             begin_index=args.beginIndex, end_index=args.endIndex,
             n_devices=resolve_n_devices(args), batch_pairs=args.batchPairs,
             adaptive_chunk=args.adaptiveChunk,
+            anchor_stride=args.anchorStride,
         )
     else:
         from ransacflow_tpu.eval import evaluate_hpatches

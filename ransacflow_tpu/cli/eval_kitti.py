@@ -73,6 +73,7 @@ def main():
             begin_index=args.beginIndex, end_index=args.endIndex,
             bg_mask_fn=build_sky_fn(args),
             adaptive_chunk=args.adaptiveChunk,
+            anchor_stride=args.anchorStride,
         )
         resnet = cast_for_dtype(
             load_coarse_net(args.mocoPth, args.imageNetPth),

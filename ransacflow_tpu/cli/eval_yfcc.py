@@ -85,6 +85,7 @@ def main():
             # eval harnesses, which filter one cached match set
             rematch_per_call=True,
             adaptive_chunk=args.adaptiveChunk,
+            anchor_stride=args.anchorStride,
         )
         resnet = cast_for_dtype(
             load_coarse_net(args.mocoPth, args.imageNetPth),

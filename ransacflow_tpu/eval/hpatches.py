@@ -42,6 +42,7 @@ def predict_hpatches(
     n_devices=None,
     batch_pairs=None,
     adaptive_chunk=0,
+    anchor_stride=0,
 ):
     """Run prediction for HPatches scenes 1-2..1-6.
 
@@ -57,7 +58,7 @@ def predict_hpatches(
     coarse_kwargs = dict(
         nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
         min_size=min_size, scale_r=scale_r, resize_mode="min",
-        adaptive_chunk=adaptive_chunk,
+        adaptive_chunk=adaptive_chunk, anchor_stride=anchor_stride,
     )
     if n_devices is None:
         coarse = CoarseAligner(resnet_params, **coarse_kwargs)

@@ -69,6 +69,7 @@ def predict_kitti(
     bg_mask_fn=None,
     max_coarse=None,
     adaptive_chunk=0,
+    anchor_stride=0,
 ):
     """Predict flow for pairs ({i:06}_10.png target, {i:06}_11.png source).
 
@@ -81,7 +82,7 @@ def predict_kitti(
     coarse = CoarseAligner(
         resnet_params, nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
         min_size=coarse_size, scale_r=scale_r, resize_mode="min", seed=seed,
-        adaptive_chunk=adaptive_chunk,
+        adaptive_chunk=adaptive_chunk, anchor_stride=anchor_stride,
     )
     for i in range(begin_index, end_index):
         _predict_one_kitti_pair(
@@ -203,6 +204,7 @@ def pooled_kitti_predict(
     bg_mask_fn=None,
     max_coarse=None,
     adaptive_chunk=0,
+    anchor_stride=0,
 ):
     """`predict_kitti` over a thread-per-device pool.
 
@@ -222,7 +224,8 @@ def pooled_kitti_predict(
         resnet_params, align_params, n_devices,
         dict(nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
              min_size=coarse_size, scale_r=scale_r, resize_mode="min",
-             seed=seed, adaptive_chunk=adaptive_chunk),
+             seed=seed, adaptive_chunk=adaptive_chunk,
+             anchor_stride=anchor_stride),
     )
     kwargs = dict(
         fine_size=fine_size, mask_region_th=mask_region_th, cc_th=cc_th,

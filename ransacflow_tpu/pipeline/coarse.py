@@ -13,6 +13,8 @@ single winning hypothesis is optionally re-solved on host in fp64
 
 from functools import partial
 
+import math
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -49,6 +51,31 @@ def _coarse_feats(params, img, stem_s2d=False):
     feat = l2_normalize(feat, axis=-1)  # per spatial location, channel dim
     _, fh, fw, c = feat.shape
     return feat.reshape(fh * fw, c)
+
+
+@partial(jax.jit, static_argnames=("stem_s2d",))
+def _coarse_feat_map(params, img, stem_s2d=False):
+    """img (1, H, W, 3) in [0,1] -> PRE-normalization (1, fh, fw, 1024) map.
+
+    The anchor-stride mode resamples this map to neighbor pyramid scales
+    before the per-location L2 normalization (normalizing after the
+    bilinear blend keeps every bank row unit-norm — the cosine-matching
+    contract `mutual_matching` assumes)."""
+    feat, _ = resnet50_layer3(params, imagenet_preprocess(img),
+                              stem_s2d=stem_s2d)
+    return feat
+
+
+@partial(jax.jit, static_argnames=("fh", "fw"))
+def _anchor_resample_feats(fmap, fh, fw):
+    """Nearest-anchor pre-norm map -> this scale's L2-normalized bank rows.
+
+    Identity (no resize) when the anchor's grid already matches, so anchor
+    scales themselves reproduce `_coarse_feats` exactly."""
+    c = fmap.shape[-1]
+    if (fh, fw) != tuple(fmap.shape[1:3]):
+        fmap = jax.image.resize(fmap, (1, fh, fw, c), method="bilinear")
+    return l2_normalize(fmap, axis=-1).reshape(fh * fw, c)
 
 
 @partial(jax.jit, static_argnames=("rematch",))
@@ -117,6 +144,13 @@ class CoarseAligner:
         block size; n_iter becomes the cap instead of the exact count.
         0 = fixed-count parity default. Ignored when injected_samples
         is used (the deterministic parity mode needs the exact set).
+      anchor_stride: > 0 runs the trunk only at every k-th pyramid scale
+        (index 0 first) and derives the remaining scales' bank rows by
+        bilinearly resampling the nearest anchor's pre-normalization
+        feature map (re-L2-normalized) — the same opt-in approximation as
+        `pipeline/fused._coarse_match` (+28% serving throughput measured
+        at stride 3; quality cost quantified in docs/PERFORMANCE.md).
+        0 = exact per-scale trunk (reference-parity default).
     """
 
     def __init__(
@@ -135,11 +169,13 @@ class CoarseAligner:
         device=None,
         stem_s2d=False,
         adaptive_chunk=0,
+        anchor_stride=0,
     ):
         self.params = resnet_params
         self.device = device
         self.stem_s2d = bool(stem_s2d)
         self.adaptive_chunk = int(adaptive_chunk)
+        self.anchor_stride = int(anchor_stride)
         self.n_iter = int(n_iter)
         self.tolerance = float(tolerance)
         self.transform = transform
@@ -193,11 +229,28 @@ class CoarseAligner:
         # mid-scale image is the one warped later (reference keeps IsList[n//2])
         self.src_img = imgs[len(self.scales) // 2]
         self.src_array = to_array(self.src_img)
-        for im in imgs:
-            arr = to_array(im)
-            f = _coarse_feats(self.params, self._put(arr)[None],
-                              stem_s2d=self.stem_s2d)
+        arrs = [to_array(im) for im in imgs]
+        if self.anchor_stride:
+            # opt-in approximation (see ctor docstring / fused._coarse_match):
+            # trunk only at anchor scales, neighbors feature-resampled from
+            # the nearest anchor in log-area
+            anchors = list(range(0, len(arrs), self.anchor_stride))
+            amaps = {
+                i: _coarse_feat_map(self.params, self._put(arrs[i])[None],
+                                    stem_s2d=self.stem_s2d)
+                for i in anchors
+            }
+            log_area = [
+                0.5 * math.log(float(a.shape[0] * a.shape[1])) for a in arrs
+            ]
+        for j, arr in enumerate(arrs):
             fh, fw = arr.shape[0] // STRIDE_NET, arr.shape[1] // STRIDE_NET
+            if self.anchor_stride:
+                i = min(anchors, key=lambda a: abs(log_area[a] - log_area[j]))
+                f = _anchor_resample_feats(amaps[i], fh, fw)
+            else:
+                f = _coarse_feats(self.params, self._put(arr)[None],
+                                  stem_s2d=self.stem_s2d)
             y, x = feature_cell_coords(fh, fw)
             feats.append(f)
             xs.append(x)

@@ -103,6 +103,53 @@ def test_coarse_aligner_adaptive_mode(rng, resnet_params):
     assert abs(n - float(inlier.sum())) <= max(5.0, 0.3 * inlier.sum())
 
 
+def test_coarse_aligner_anchor_stride(rng, resnet_params):
+    """anchor_stride on the host CoarseAligner (the CLI-reachable twin of
+    pipeline/fused._coarse_match's opt-in fast mode, --anchorStride):
+    anchor scales must reproduce the exact per-scale trunk output, and the
+    approximated bank must still recover the planted translation."""
+    from ransacflow_tpu.utils.image import (
+        resize_min_size, to_array, STRIDE_NET,
+    )
+
+    src, tgt, H_true = _translated_pair(rng)
+    # 5 scales with anchors {1.2, 1.0, 0.833} mirrors the serving geometry
+    # (7 scales, stride 3, anchors {2.0, 1.0, 0.5}): scale 1.0 — the only
+    # scale untrained features can match the unscaled target at — stays an
+    # EXACT anchor; a layout that resamples it cannot recover the planted
+    # transform with random weights (scale-crossing matches need training).
+    kw = dict(nb_scale=5, n_iter=3000, min_size=H_IMG, scale_r=1.2)
+    exact = CoarseAligner(resnet_params, **kw)
+    fast = CoarseAligner(resnet_params, anchor_stride=2, **kw)
+    exact.set_pair(src, tgt)
+    fast.set_pair(src, tgt)
+
+    # per-scale bank block sizes (rows are concatenated scale-by-scale)
+    sizes = []
+    for s in exact.scales:
+        a = to_array(resize_min_size(src, int(exact.min_size * s)))
+        sizes.append((a.shape[0] // STRIDE_NET) * (a.shape[1] // STRIDE_NET))
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    bank_e = np.asarray(exact._bank)
+    bank_f = np.asarray(fast._bank)
+    assert bank_f.shape == bank_e.shape
+    for i in (0, 2, 4):  # anchors at stride 2 of the 5-scale pyramid
+        blk = slice(offsets[i], offsets[i + 1])
+        np.testing.assert_allclose(bank_f[blk], bank_e[blk],
+                                   atol=1e-5, rtol=1e-5)
+    # the resampled in-between scales differ from exact but stay unit-norm
+    for i in (1, 3):
+        mid = slice(offsets[i], offsets[i + 1])
+        assert not np.allclose(bank_f[mid], bank_e[mid], atol=1e-3)
+        np.testing.assert_allclose(np.linalg.norm(bank_f[mid], axis=1), 1.0,
+                                   atol=1e-4)
+
+    assert fast.num_cached_matches > 20
+    H, inlier = fast.get_coarse(_border_mask())
+    assert H is not None
+    assert _h_error(H, H_true) < 0.02
+
+
 def test_coarse_aligner_multiscale_and_rematch(rng, resnet_params):
     src, tgt, H_true = _translated_pair(rng)
     coarse = CoarseAligner(resnet_params, nb_scale=3, n_iter=3000,
