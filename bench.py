@@ -60,7 +60,7 @@ def pyramid_shapes(min_size=MIN_SIZE, aspect=ASPECT, nb_scale=7, scale_r=2.0,
 
 def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
                     related=False, adaptive_chunk=0, mask_region_th=0.01,
-                    n_iter=50000, return_outs=False):
+                    n_iter=50000, return_outs=False, anchor_stride=0):
     """Reference-shaped eval path: full multi-homography loop at the
     HPatches config (minSize 480, 7 scales, 50k RANSAC iters, maxCoarse 10,
     maskRegionTh 0.01, match12-only fine stage —
@@ -127,8 +127,35 @@ def bench_multihomo(resnet_params, align_params, n_pairs=8, max_coarse=10,
 
     def setup(source, target):
         pyr = device_pyramid(source, shapes)
-        feats = [_coarse_feats(resnet_params, im, stem_s2d=s2d)
-                 for im in pyr]
+        if anchor_stride:
+            # anchor-stride bank (the opt-in approximation measured in
+            # pipeline/fused._coarse_match / CoarseAligner anchor_stride)
+            import math
+
+            from ransacflow_tpu.models.resnet50 import (
+                resnet50_layer3, imagenet_preprocess,
+            )
+            from ransacflow_tpu.models.layers import l2_normalize
+
+            anchors = list(range(0, len(shapes), int(anchor_stride)))
+            amaps = {}
+            for i in anchors:
+                f, _ = resnet50_layer3(
+                    resnet_params, imagenet_preprocess(pyr[i]), stem_s2d=s2d)
+                amaps[i] = f
+            log_a = [0.5 * math.log(float(h * w)) for (h, w) in shapes]
+            feats = []
+            for j, (h, w) in enumerate(shapes):
+                i = min(anchors, key=lambda a: abs(log_a[a] - log_a[j]))
+                f0 = amaps[i]
+                c = f0.shape[-1]
+                fh, fw = h // 16, w // 16
+                if (fh, fw) != tuple(f0.shape[1:3]):
+                    f0 = jax.image.resize(f0, (1, fh, fw, c), "bilinear")
+                feats.append(l2_normalize(f0, axis=-1).reshape(-1, c))
+        else:
+            feats = [_coarse_feats(resnet_params, im, stem_s2d=s2d)
+                     for im in pyr]
         bank = jnp.concatenate(feats, axis=0)
         featt = _coarse_feats(resnet_params, target, stem_s2d=s2d)
         m = mutual_matching(bank.T, featt.T)
@@ -433,8 +460,25 @@ def main():
             resnet_params_f32, accept_params, related=True,
             adaptive_chunk=4096,
         )
+        # Composite fast-eval point (round 5): every opt-in lever at once
+        # — bf16 compute + adaptive early exit + anchor-stride banks.
+        # Measured 35.8 vs 21.0 fixed-fp32 (scripts/bench_fast_eval.py);
+        # avg_h identical to the exact-bank bf16 adaptive run (1.62), so
+        # the anchor bank preserves the accept/exit dynamics. Separately
+        # skippable: one more 50k-iteration compile+measure pass.
+        if os.environ.get("RANSACFLOW_BENCH_SKIP_MH_FAST"):
+            mha_fast_pps = mha_fast_avg_h = None
+        else:
+            resnet_b = (resnet_params if dtype == "bfloat16"
+                        else cast_params(resnet_params_f32, jnp.bfloat16))
+            accept_b = cast_params(accept_params, jnp.bfloat16)
+            mha_fast_pps, mha_fast_avg_h = bench_multihomo(
+                resnet_b, accept_b, related=True, adaptive_chunk=4096,
+                anchor_stride=3,
+            )
     else:
         mha_pps = mha_avg_h = mha_ad_pps = mha_ad_avg_h = None
+        mha_fast_pps = mha_fast_avg_h = None
 
     print(
         json.dumps(
@@ -479,6 +523,10 @@ def main():
                         _round(mha_ad_pps, 3),
                     "multihomo_accept_adaptive_avg_homographies":
                         _round(mha_ad_avg_h, 2),
+                    "multihomo_accept_fast_pairs_s":
+                        _round(mha_fast_pps, 3),
+                    "multihomo_accept_fast_avg_homographies":
+                        _round(mha_fast_avg_h, 2),
                 },
             }
         )
