@@ -57,6 +57,7 @@ def main():
         scale_r=args.scaleR,
         adaptive_chunk=args.adaptiveChunk,
         anchor_stride=args.anchorStride,
+        relax_cells=args.relaxCells,
     )
     img1 = Image.open(args.img1).convert("RGB")
     img2 = Image.open(args.img2).convert("RGB")

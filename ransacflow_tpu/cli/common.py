@@ -125,3 +125,12 @@ def add_adaptive_flag(parser):
              "anchor (+28%% serving throughput measured at stride 3; "
              "quality cost in docs/PERFORMANCE.md). 0 = exact per-scale "
              "trunk (reference-parity default)")
+    parser.add_argument(
+        "--relaxCells", type=int, default=0,
+        help="relaxed mutual-match reciprocity (opt-in companion to "
+             "--anchorStride): accept a match when the back-match lands "
+             "within this many target feature cells instead of exact "
+             "index reciprocity — repairs the anchor mode's "
+             "vote-splitting match losses (mechanism + measured quality "
+             "in docs/PERFORMANCE.md). 0 = reference semantics (parity "
+             "default)")

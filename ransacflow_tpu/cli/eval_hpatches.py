@@ -84,6 +84,7 @@ def main():
             n_devices=resolve_n_devices(args), batch_pairs=args.batchPairs,
             adaptive_chunk=args.adaptiveChunk,
             anchor_stride=args.anchorStride,
+            relax_cells=args.relaxCells,
         )
     else:
         from ransacflow_tpu.eval import evaluate_hpatches

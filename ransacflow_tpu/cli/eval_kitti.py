@@ -74,6 +74,7 @@ def main():
             bg_mask_fn=build_sky_fn(args),
             adaptive_chunk=args.adaptiveChunk,
             anchor_stride=args.anchorStride,
+            relax_cells=args.relaxCells,
         )
         resnet = cast_for_dtype(
             load_coarse_net(args.mocoPth, args.imageNetPth),

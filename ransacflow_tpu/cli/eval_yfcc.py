@@ -86,6 +86,7 @@ def main():
             rematch_per_call=True,
             adaptive_chunk=args.adaptiveChunk,
             anchor_stride=args.anchorStride,
+            relax_cells=args.relaxCells,
         )
         resnet = cast_for_dtype(
             load_coarse_net(args.mocoPth, args.imageNetPth),

@@ -66,12 +66,14 @@ def predict_corr(
     batch_pairs=None,
     adaptive_chunk=0,
     anchor_stride=0,
+    relax_cells=0,
 ):
     df = pd.read_csv(csv_path, dtype=str)
     coarse_kwargs = dict(
         nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
         min_size=min_size, scale_r=scale_r, resize_mode="min",
         adaptive_chunk=adaptive_chunk, anchor_stride=anchor_stride,
+        relax_cells=relax_cells,
     )
     end = len(df) if end_index is None else min(end_index, len(df))
 

@@ -43,6 +43,7 @@ def predict_hpatches(
     batch_pairs=None,
     adaptive_chunk=0,
     anchor_stride=0,
+    relax_cells=0,
 ):
     """Run prediction for HPatches scenes 1-2..1-6.
 
@@ -59,6 +60,7 @@ def predict_hpatches(
         nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
         min_size=min_size, scale_r=scale_r, resize_mode="min",
         adaptive_chunk=adaptive_chunk, anchor_stride=anchor_stride,
+        relax_cells=relax_cells,
     )
     if n_devices is None:
         coarse = CoarseAligner(resnet_params, **coarse_kwargs)

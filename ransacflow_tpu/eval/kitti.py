@@ -70,6 +70,7 @@ def predict_kitti(
     max_coarse=None,
     adaptive_chunk=0,
     anchor_stride=0,
+    relax_cells=0,
 ):
     """Predict flow for pairs ({i:06}_10.png target, {i:06}_11.png source).
 
@@ -83,6 +84,7 @@ def predict_kitti(
         resnet_params, nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
         min_size=coarse_size, scale_r=scale_r, resize_mode="min", seed=seed,
         adaptive_chunk=adaptive_chunk, anchor_stride=anchor_stride,
+        relax_cells=relax_cells,
     )
     for i in range(begin_index, end_index):
         _predict_one_kitti_pair(
@@ -205,6 +207,7 @@ def pooled_kitti_predict(
     max_coarse=None,
     adaptive_chunk=0,
     anchor_stride=0,
+    relax_cells=0,
 ):
     """`predict_kitti` over a thread-per-device pool.
 
@@ -225,7 +228,7 @@ def pooled_kitti_predict(
         dict(nb_scale=nb_scale, n_iter=n_iter, tolerance=tolerance,
              min_size=coarse_size, scale_r=scale_r, resize_mode="min",
              seed=seed, adaptive_chunk=adaptive_chunk,
-             anchor_stride=anchor_stride),
+             anchor_stride=anchor_stride, relax_cells=relax_cells),
     )
     kwargs = dict(
         fine_size=fine_size, mask_region_th=mask_region_th, cc_th=cc_th,

@@ -21,7 +21,7 @@ class MatchResult(NamedTuple):
     score: jnp.ndarray     # cosine score of the pair
 
 
-def mutual_matching(featA, featB, validB=None):
+def mutual_matching(featA, featB, validB=None, relax_cells=0, grid_w=None):
     """Mutual NN matching between L2-normalized feature banks.
 
     Args:
@@ -30,6 +30,18 @@ def mutual_matching(featA, featB, validB=None):
       validB: optional (nB,) mask; masked target cells behave as zero
         features, exactly like the reference's ``featt * MtTensor``
         (quick_start/coarseAlignFeatMatch.py:143).
+      relax_cells: 0 (default) = exact-index reciprocity, the reference's
+        semantics. > 0 = accept a pair when the back-match lands within
+        this Chebyshev radius (in target feature cells) of the original
+        cell. Exists for the anchor-stride approximation mode: resampled
+        near-duplicate bank rows at neighboring pyramid levels split the
+        target-side argmax vote, so the back-match lands one cell off and
+        exact reciprocity drops a geometrically-correct match (measured:
+        most anchor-mode losses sit at back-distance 1 — see
+        docs/PERFORMANCE.md, round-5 anchor section). Keep 0 for
+        reference-parity runs.
+      grid_w: target feature-grid width (nB = grid_h * grid_w, row-major);
+        required when relax_cells > 0 to turn flat indices into cells.
 
     A pair (i, j) is kept iff i is the argmax of column j AND j is the
     argmax of row i AND the score is nonzero (the reference's
@@ -49,6 +61,14 @@ def mutual_matching(featA, featB, validB=None):
     nB = score.shape[1]
     cols = jnp.arange(nB)
     pair_score = score[best_src, cols]
-    mutual = best_tgt[best_src] == cols
+    back = best_tgt[best_src]  # (nB,) where the back-match landed
+    if relax_cells:
+        if grid_w is None:
+            raise ValueError("relax_cells > 0 requires grid_w")
+        d_row = jnp.abs(back // grid_w - cols // grid_w)
+        d_col = jnp.abs(back % grid_w - cols % grid_w)
+        mutual = jnp.maximum(d_row, d_col) <= relax_cells
+    else:
+        mutual = back == cols
     valid = mutual & (pair_score != 0.0)
     return MatchResult(best_src.astype(jnp.int32), valid, pair_score)

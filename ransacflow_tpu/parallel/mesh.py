@@ -46,7 +46,8 @@ def shard_batch(tree, mesh, axis="data"):
 
 def sharded_align_pairs(mesh, resnet_params, align_params, pyramids, targets,
                         keys, tolerance=0.05, n_iter=10000, kernel_size=7,
-                        cycle_match=True, adaptive_chunk=0, anchor_stride=0):
+                        cycle_match=True, adaptive_chunk=0, anchor_stride=0,
+                        relax_cells=0):
     """Shard a batch of same-shape pairs across the mesh and run the fused
     coarse+fine program on each device's shard (the v5e-8 serving layout:
     pairs are embarrassingly parallel, params replicated, zero collectives
@@ -71,6 +72,7 @@ def sharded_align_pairs(mesh, resnet_params, align_params, pyramids, targets,
             resnet_params, align_params, tuple(pyrs), tgts, ks,
             tolerance, n_iter, kernel_size, cycle_match,
             adaptive_chunk=adaptive_chunk, anchor_stride=anchor_stride,
+            relax_cells=relax_cells,
         )
 
     f = shard_map(

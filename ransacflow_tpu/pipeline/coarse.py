@@ -78,17 +78,24 @@ def _anchor_resample_feats(fmap, fh, fw):
     return l2_normalize(fmap, axis=-1).reshape(fh * fw, c)
 
 
-@partial(jax.jit, static_argnames=("rematch",))
-def _match_masked(bank, featt, mask_cell, cached_src, cached_valid, rematch):
+@partial(jax.jit, static_argnames=("rematch", "relax_cells", "grid_w"))
+def _match_masked(bank, featt, mask_cell, cached_src, cached_valid, rematch,
+                  relax_cells=0, grid_w=None):
     """Per-call masked matching: fresh (rematch) or cached-filtered.
 
     THE single implementation of the matching policy — the host loop
     (`get_coarse`), the rotation pre-test (`dispatch_inlier_count`), and
     the device-resident loop (multihomo `_fused_multi_homo`) all call it,
     so the rematch/cache semantics cannot diverge between paths.
+
+    relax_cells/grid_w: the opt-in relaxed back-match reciprocity
+    (ops/matching.mutual_matching) — the anchor-stride mode's companion.
+    Cached (non-rematch) matches apply it where the cache was built
+    (set_target), so only the fresh path consumes it here.
     """
     if rematch:
-        res = mutual_matching(bank.T, featt.T, validB=mask_cell)
+        res = mutual_matching(bank.T, featt.T, validB=mask_cell,
+                              relax_cells=relax_cells, grid_w=grid_w)
         return res.src_idx, res.valid
     return cached_src, cached_valid & mask_cell
 
@@ -151,6 +158,13 @@ class CoarseAligner:
         `pipeline/fused._coarse_match` (+28% serving throughput measured
         at stride 3; quality cost quantified in docs/PERFORMANCE.md).
         0 = exact per-scale trunk (reference-parity default).
+      relax_cells: > 0 accepts a match when the back-match lands within
+        this Chebyshev radius in target cells instead of exact-index
+        reciprocity (ops/matching.mutual_matching) — repairs the anchor
+        mode's vote-splitting losses (resampled near-duplicate bank rows
+        shift the back-match by ~1 cell; docs/PERFORMANCE.md round-5
+        anchor section). 0 = reference semantics (parity default); only
+        worth opting into together with anchor_stride.
     """
 
     def __init__(
@@ -170,12 +184,14 @@ class CoarseAligner:
         stem_s2d=False,
         adaptive_chunk=0,
         anchor_stride=0,
+        relax_cells=0,
     ):
         self.params = resnet_params
         self.device = device
         self.stem_s2d = bool(stem_s2d)
         self.adaptive_chunk = int(adaptive_chunk)
         self.anchor_stride = int(anchor_stride)
+        self.relax_cells = int(relax_cells)
         self.n_iter = int(n_iter)
         self.tolerance = float(tolerance)
         self.transform = transform
@@ -273,7 +289,9 @@ class CoarseAligner:
         y, x = feature_cell_coords(self.feat_h, self.feat_w)
         self._coordsB = jnp.stack([x, y], axis=1)  # (nB, 2)
         if not self.rematch:
-            res = mutual_matching(self._bank.T, self._featt.T)
+            res = mutual_matching(self._bank.T, self._featt.T,
+                                  relax_cells=self.relax_cells,
+                                  grid_w=self.feat_w)
             self._cached_src, self._cached_valid = res.src_idx, res.valid
         else:
             n_b = self._featt.shape[0]
@@ -318,6 +336,8 @@ class CoarseAligner:
             self._cached_src,
             self._cached_valid,
             self.rematch,
+            self.relax_cells,
+            self.feat_w,
         )
         m1, m2 = _homogeneous_matches(self._coordsA, self._coordsB, src_idx)
 
@@ -397,6 +417,8 @@ class CoarseAligner:
             self._cached_src,
             self._cached_valid,
             self.rematch,
+            self.relax_cells,
+            self.feat_w,
         )
         m1, m2 = _homogeneous_matches(self._coordsA, self._coordsB, src_idx)
         if key is None:

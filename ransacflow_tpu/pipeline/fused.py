@@ -59,7 +59,7 @@ def _bank_coords(pyramid_shapes, stride=16):
 
 
 def _coarse_match(resnet_params, pyramid, target, stem_s2d=False,
-                  anchor_stride=0):
+                  anchor_stride=0, relax_cells=0):
     """Coarse features + mutual matching for one pair.
 
     Returns (m1, m2, valid): homogeneous match arrays keyed by target cell
@@ -84,6 +84,14 @@ def _coarse_match(resnet_params, pyramid, target, stem_s2d=False,
     (the dead-end record in docs/PERFORMANCE.md); nearest-anchor with
     small stride retains 74-92% of the exact mode's matches across
     planted scale ratios 1.0-2.0 (tests/test_fused.py pins this).
+
+    relax_cells (opt-in, companion to anchor_stride): accept a match when
+    the back-match lands within this many target cells instead of exact
+    index reciprocity (ops/matching.mutual_matching). Repairs the anchor
+    mode's vote-splitting losses — resampled near-duplicate bank rows
+    steal the argmax and shift the back-match by ~1 cell (measured
+    mechanism + quality table in docs/PERFORMANCE.md). 0 = reference
+    semantics; has no effect worth opting into without anchor_stride.
     """
     if anchor_stride:
         anchors = list(range(0, len(pyramid), int(anchor_stride)))
@@ -125,7 +133,8 @@ def _coarse_match(resnet_params, pyramid, target, stem_s2d=False,
     y, x = feature_cell_coords(fh, fw)
     coords_b = jnp.stack([x, y], axis=1)
 
-    m = mutual_matching(bank.T, featt.T)
+    m = mutual_matching(bank.T, featt.T, relax_cells=relax_cells,
+                        grid_w=fw)
     n_b = coords_b.shape[0]
     ones = jnp.ones((n_b, 1), jnp.float32)
     m1 = jnp.concatenate([coords_a[m.src_idx], ones], axis=1)
@@ -136,7 +145,7 @@ def _coarse_match(resnet_params, pyramid, target, stem_s2d=False,
 @partial(
     jax.jit,
     static_argnames=("n_iter", "kernel_size", "cycle_match", "stem_s2d",
-                     "adaptive_chunk", "anchor_stride"),
+                     "adaptive_chunk", "anchor_stride", "relax_cells"),
 )
 def fused_align(
     resnet_params,
@@ -151,6 +160,7 @@ def fused_align(
     stem_s2d=False,
     adaptive_chunk=0,
     anchor_stride=0,
+    relax_cells=0,
 ):
     """Align one pair entirely on device.
 
@@ -165,7 +175,8 @@ def fused_align(
     """
     m1, m2, valid = _coarse_match(resnet_params, pyramid, target,
                                   stem_s2d=stem_s2d,
-                                  anchor_stride=anchor_stride)
+                                  anchor_stride=anchor_stride,
+                                  relax_cells=relax_cells)
     res = _ransac(key, m1, m2, valid, tolerance, n_iter, adaptive_chunk)
     return _fine_with_gate(
         align_params, pyramid, target, res, cycle_match, kernel_size
@@ -222,7 +233,8 @@ def _fine_with_gate(align_params, pyramid, target, res, cycle_match,
 @partial(
     jax.jit,
     static_argnames=("n_iter", "kernel_size", "cycle_match", "batch_mode",
-                     "stem_s2d", "adaptive_chunk", "anchor_stride"),
+                     "stem_s2d", "adaptive_chunk", "anchor_stride",
+                     "relax_cells"),
 )
 def fused_align_batch(
     resnet_params,
@@ -238,6 +250,7 @@ def fused_align_batch(
     stem_s2d=False,
     adaptive_chunk=0,
     anchor_stride=0,
+    relax_cells=0,
 ):
     """Run `fused_align` over a batch of pairs resident on device.
 
@@ -266,7 +279,7 @@ def fused_align_batch(
         return fused_align(
             resnet_params, align_params, tuple(pyr), tgt, k,
             tolerance, n_iter, kernel_size, cycle_match, stem_s2d,
-            adaptive_chunk, anchor_stride,
+            adaptive_chunk, anchor_stride, relax_cells,
         )
 
     if batch_mode == "vmap":
@@ -276,7 +289,8 @@ def fused_align_batch(
         m1, m2, valid = jax.vmap(
             lambda pyr, tgt: _coarse_match(resnet_params, tuple(pyr), tgt,
                                            stem_s2d=stem_s2d,
-                                           anchor_stride=anchor_stride)
+                                           anchor_stride=anchor_stride,
+                                           relax_cells=relax_cells)
         )(tuple(pyramids), targets)
 
         def r_body(_, inp):
@@ -318,7 +332,7 @@ def fused_align_batch(
             m1, m2, valid = jax.vmap(
                 lambda py, t: _coarse_match(
                     resnet_params, tuple(py), t, stem_s2d=stem_s2d,
-                    anchor_stride=anchor_stride
+                    anchor_stride=anchor_stride, relax_cells=relax_cells
                 )
             )(tuple(pyr), tgt)
 

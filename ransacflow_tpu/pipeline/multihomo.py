@@ -102,13 +102,14 @@ def multi_homography_predict(
     static_argnames=(
         "feat_h", "feat_w", "max_coarse", "cycle_match", "kernel_size",
         "n_iter", "n_points", "transform", "rematch", "adaptive_chunk",
+        "relax_cells",
     ),
 )
 def _fused_multi_homo(
     params, bank, featt_c, coords_a, coords_b, cached_src, cached_valid,
     src, featt_fine, bg_mask, key, tolerance, mask_region_th,
     *, feat_h, feat_w, max_coarse, cycle_match, kernel_size, n_iter,
-    n_points, transform, rematch, adaptive_chunk=0,
+    n_points, transform, rematch, adaptive_chunk=0, relax_cells=0,
 ):
     """The whole multi-homography loop as ONE device program.
 
@@ -140,7 +141,8 @@ def _fused_multi_homo(
         # as the host loop and the rotation pre-test
         mask_cell = _mask_to_cells(fg, feat_h, feat_w)
         src_idx, valid = _match_masked(
-            bank, featt_c, mask_cell, cached_src, cached_valid, rematch
+            bank, featt_c, mask_cell, cached_src, cached_valid, rematch,
+            relax_cells, feat_w,
         )
         m1, m2 = _homogeneous_matches(coords_a, coords_b, src_idx)
         key, sub = jax.random.split(st["key"])
@@ -204,13 +206,14 @@ def _fused_multi_homo(
     static_argnames=(
         "feat_h", "feat_w", "max_coarse", "cycle_match", "kernel_size",
         "n_iter", "n_points", "transform", "rematch", "adaptive_chunk",
+        "relax_cells",
     ),
 )
 def _fused_multi_homo_batch(
     params, banks, featts_c, coords_a, coords_b, cached_srcs, cached_valids,
     srcs, featts_fine, bg_masks, keys, tolerance, mask_region_th,
     *, feat_h, feat_w, max_coarse, cycle_match, kernel_size, n_iter,
-    n_points, transform, rematch, adaptive_chunk=0,
+    n_points, transform, rematch, adaptive_chunk=0, relax_cells=0,
 ):
     """`_fused_multi_homo` over a stack of same-shape pairs in ONE program.
 
@@ -231,6 +234,7 @@ def _fused_multi_homo_batch(
             cycle_match=cycle_match, kernel_size=kernel_size,
             n_iter=n_iter, n_points=n_points, transform=transform,
             rematch=rematch, adaptive_chunk=adaptive_chunk,
+            relax_cells=relax_cells,
         )
         # the full-res mask is loop state, not a result; don't stack it
         out.pop("mask")
@@ -280,6 +284,7 @@ def multi_homography_dispatch(
         n_iter=coarse.n_iter, n_points=coarse.n_points,
         transform=coarse.transform, rematch=coarse.rematch,
         adaptive_chunk=coarse.adaptive_chunk,
+        relax_cells=coarse.relax_cells,
     )
     return final, bg
 

@@ -55,12 +55,13 @@ def main():
     build_j = jax.jit(
         lambda srcs: jax.vmap(lambda s: device_pyramid(s, shapes))(srcs))
 
-    def measure(resnet, align, mode, stride):
+    def measure(resnet, align, mode, stride, relax=0):
         def run(k):
             pyr = build_j(sources)
             out = fused_align_batch(
                 resnet, align, pyr, targets, jax.random.split(k, n),
-                n_iter=bench.N_ITER, batch_mode=mode, anchor_stride=stride)
+                n_iter=bench.N_ITER, batch_mode=mode, anchor_stride=stride,
+                relax_cells=relax)
             return np.asarray(out["num_inliers"])
 
         run(jax.random.PRNGKey(3))
@@ -79,10 +80,11 @@ def main():
         r = resnet_f32 if dtype is None else cast_params(resnet_f32, dtype)
         a = align_f32 if dtype is None else cast_params(align_f32, dtype)
         print(f"== {label}")
-        for stride in (0, STRIDE):
-            pps = measure(r, a, mode, stride)
+        for stride, relax in ((0, 0), (STRIDE, 0), (STRIDE, 1)):
+            pps = measure(r, a, mode, stride, relax)
             name = "exact pyramid" if stride == 0 else \
-                f"anchor_stride={stride}"
+                f"anchor_stride={stride}" + \
+                (f"+relax{relax}" if relax else "")
             print(f"  {name}: {pps:.2f} pairs/s")
 
     # two-anchor blend PROTOTYPE (quality probe only): for non-anchor
@@ -149,8 +151,9 @@ def main():
     # base; source = base upsampled by the ratio, padded into the largest
     # pyramid shape) and compare mutual-match counts + same-cell agreement
     print(f"== match quality at planted scale ratios (fp32, "
-          f"anchor_stride={STRIDE} vs exact; 'blend' = two-anchor "
-          f"log-interp prototype)")
+          f"anchor_stride={STRIDE} vs exact; 'relax' = +relax_cells=1 "
+          f"back-match reciprocity; 'blend' = two-anchor log-interp "
+          f"prototype)")
     base = np.kron((rng.rand(ht // 4, wt // 4, 3) > 0.5).astype(np.float32),
                    np.ones((4, 4, 1), np.float32))[:ht, :wt]
     tgt1 = jnp.asarray(np.roll(base, (16, 16), (0, 1)))[None]
@@ -165,8 +168,11 @@ def main():
         m1e, _, ve = _coarse_match(resnet_f32, pyr1, tgt1)
         m1a, _, va = _coarse_match(resnet_f32, pyr1, tgt1,
                                    anchor_stride=STRIDE)
+        m1r, _, vr = _coarse_match(resnet_f32, pyr1, tgt1,
+                                   anchor_stride=STRIDE, relax_cells=1)
         m1b, vb = blend_match(resnet_f32, pyr1, tgt1, STRIDE)
         ve, va, vb = np.asarray(ve), np.asarray(va), np.asarray(vb)
+        vr = np.asarray(vr)
         both = ve & va
         same = np.all(np.isclose(np.asarray(m1e)[both],
                                  np.asarray(m1a)[both], atol=1e-6), axis=1)
@@ -177,6 +183,8 @@ def main():
               f"anchor {int(va.sum()):4d}  "
               f"retention {va.sum() / max(ve.sum(), 1):.0%}  "
               f"same-cell {same.mean():.0%}  |  "
+              f"relax {int(vr.sum()):4d}  "
+              f"retention {vr.sum() / max(ve.sum(), 1):.0%}  |  "
               f"blend {int(vb.sum()):4d}  "
               f"retention {vb.sum() / max(ve.sum(), 1):.0%}  "
               f"same-cell {sameb.mean():.0%}")

@@ -139,6 +139,52 @@ def test_fused_anchor_stride_pyramid(rng, nets):
     np.testing.assert_allclose(hs[2], hs[0], atol=0.05)
 
 
+def test_fused_anchor_relax_cells(rng, nets):
+    """relax_cells=1 (the anchor mode's vote-splitting repair — accept a
+    match when the back-match lands within 1 target cell,
+    ops/matching.mutual_matching) must (a) be a strict superset of the
+    anchor mode's exact-reciprocity matches, (b) recover match count on a
+    pair where the anchor approximation loses matches, and (c) keep the
+    fused homography in agreement with the exact-pyramid mode. Mechanism
+    + full-size TPU quality table: docs/PERFORMANCE.md round-5 anchor
+    section."""
+    from ransacflow_tpu.ops import warp_grid, grid_sample
+    from ransacflow_tpu.pipeline.fused import _coarse_match, device_pyramid
+
+    resnet, align = nets
+    h = w = 128
+    base = (rng.rand(h // 4, w // 4, 3) > 0.5).astype(np.float32)
+    src = np.kron(base, np.ones((4, 4, 1), np.float32))[:h, :w]
+    H_true = np.array([[1, 0, 0.25], [0, 1, 0.25], [0, 0, 1]], np.float32)
+    g = warp_grid(jnp.asarray(H_true)[None], h, w)
+    tgt = grid_sample(jnp.asarray(src)[None], g)
+
+    shapes = [(int(h * s) // 16 * 16,) * 2
+              for s in (2.0, 1.5, 1.0, 0.75, 0.5)]
+    pyr = device_pyramid(jnp.asarray(src)[None], shapes)
+
+    _, _, ve = _coarse_match(resnet, pyr, tgt)
+    _, _, va = _coarse_match(resnet, pyr, tgt, anchor_stride=2)
+    _, _, vr = _coarse_match(resnet, pyr, tgt, anchor_stride=2,
+                             relax_cells=1)
+    ve, va, vr = np.asarray(ve), np.asarray(va), np.asarray(vr)
+    assert (vr | ~va).all(), "relaxed must be a superset of anchor-exact"
+    assert vr.sum() > va.sum(), (vr.sum(), va.sum())
+    # the rescue claim: relaxed anchor matching reaches at least the
+    # EXACT pyramid's match count (measured full-size: exceeds it)
+    assert vr.sum() >= 0.95 * ve.sum(), (vr.sum(), ve.sum())
+
+    # fused homography agreement across modes
+    out0 = fused_align(resnet, align, pyr, tgt, jax.random.PRNGKey(0),
+                       n_iter=2000)
+    outr = fused_align(resnet, align, pyr, tgt, jax.random.PRNGKey(0),
+                       n_iter=2000, anchor_stride=2, relax_cells=1)
+    assert bool(outr["found"])
+    h0 = np.asarray(out0["H21"], np.float64)
+    hr = np.asarray(outr["H21"], np.float64)
+    np.testing.assert_allclose(hr / hr[2, 2], h0 / h0[2, 2], atol=0.05)
+
+
 def test_device_pyramid_close_to_pil(rng):
     """jax lanczos3 resize tracks PIL LANCZOS closely enough for feature
     matching (same kernel family, different edge handling details)."""

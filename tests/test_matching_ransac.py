@@ -55,6 +55,57 @@ def test_mutual_matching_respects_target_mask(rng):
     np.testing.assert_array_equal(np.sort(ours_j), np.sort(gold_j))
 
 
+def test_mutual_matching_relax_cells(rng):
+    """relax_cells (opt-in, the anchor-stride companion): accepts a pair
+    when the back-match lands within the radius in TARGET CELLS instead of
+    exact index reciprocity (ops/matching.py). Checks: (a) radius 0 is the
+    exact semantics, (b) the relaxed valid set is a superset, (c) a planted
+    vote-split — a near-duplicate bank row that steals the argmax and
+    back-matches to the NEIGHBORING target cell — is dropped by exact
+    reciprocity but rescued by relax_cells=1."""
+    gh, gw = 5, 8
+    nB = gh * gw
+    featB = rng.randn(32, nB).astype(np.float32)
+    featB /= np.linalg.norm(featB, axis=0, keepdims=True)
+    # bank = copy of target features (so cell j matches row j) ...
+    featA = featB.copy()
+    res0 = mutual_matching(jnp.asarray(featA), jnp.asarray(featB))
+    assert np.asarray(res0.valid).all()
+
+    # ... plus one near-duplicate of row 20 biased toward cell 21 (the
+    # horizontal neighbor): with the true row weakened it wins column 20's
+    # argmax but back-matches 21 — the vote-split geometry the anchor
+    # mode's resampled rows produce (docs/PERFORMANCE.md round-5 section)
+    j, jn = 20, 21
+    dup = 0.6 * featB[:, j] + 0.7 * featB[:, jn]
+    dup /= np.linalg.norm(dup)
+    featA2 = np.concatenate([featA, dup[:, None]], axis=1)
+    featA2[:, j] *= 0.5  # weaken the true row so the dup steals the argmax
+    exact = mutual_matching(jnp.asarray(featA2), jnp.asarray(featB))
+    ev = np.asarray(exact.valid)
+    # the dup must actually have stolen column j and split the vote
+    assert int(np.asarray(exact.src_idx)[j]) == nB
+    assert not ev[j], "planted vote-split was not dropped by exact mode"
+
+    relaxed = mutual_matching(jnp.asarray(featA2), jnp.asarray(featB),
+                              relax_cells=1, grid_w=gw)
+    rv = np.asarray(relaxed.valid)
+    assert rv[j], "relax_cells=1 must rescue the 1-cell vote-split"
+    assert (rv | ~ev).all(), "relaxed valid set must be a superset"
+
+    # radius 0 == exact semantics (relax_cells=0 ignores grid_w)
+    res_r0 = mutual_matching(jnp.asarray(featA2), jnp.asarray(featB),
+                             relax_cells=0, grid_w=gw)
+    np.testing.assert_array_equal(np.asarray(res_r0.valid), ev)
+
+    # Chebyshev radius is in CELLS: a back-match one ROW away (index
+    # distance gw) is also within radius 1
+    import pytest
+    with pytest.raises(ValueError):
+        mutual_matching(jnp.asarray(featA2), jnp.asarray(featB),
+                        relax_cells=1)
+
+
 def _make_ransac_problem(rng, n=300, inlier_frac=0.7, noise=0.003):
     H = np.eye(3) + rng.randn(3, 3) * 0.15
     H[2, :2] *= 0.1

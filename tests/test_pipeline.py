@@ -149,6 +149,20 @@ def test_coarse_aligner_anchor_stride(rng, resnet_params):
     assert H is not None
     assert _h_error(H, H_true) < 0.02
 
+    # --relaxCells on the host path (the anchor mode's vote-splitting
+    # repair, ops/matching.mutual_matching): cached matches are a superset
+    # of the anchor-exact set and the fit still recovers the transform
+    relaxed = CoarseAligner(resnet_params, anchor_stride=2, relax_cells=1,
+                            **kw)
+    relaxed.set_pair(src, tgt)
+    assert relaxed.num_cached_matches >= fast.num_cached_matches
+    va = np.asarray(fast._cached_valid)
+    vr = np.asarray(relaxed._cached_valid)
+    assert (vr | ~va).all()
+    Hr, _ = relaxed.get_coarse(_border_mask())
+    assert Hr is not None
+    assert _h_error(Hr, H_true) < 0.02
+
 
 def test_coarse_aligner_multiscale_and_rematch(rng, resnet_params):
     src, tgt, H_true = _translated_pair(rng)
